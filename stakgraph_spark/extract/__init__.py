@@ -1,0 +1,105 @@
+"""Extraction dispatch + the Arrow-vectorized Spark hook.
+
+`extract_raw(df)` turns the source table into the unified RAW stream
+(nodes + resolved edges + unresolved mentions) with ONE `mapInPandas` pass —
+the only place Python touches row data.  Everything downstream is pure
+DataFrame API.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..langspec import MAX_FILE_SIZE
+from ..schema import RAW_SCHEMA
+from .base import Extraction
+
+_RAW_COLS = [f.name for f in RAW_SCHEMA.fields]
+
+
+def get_extractor(lang: str):
+    # local imports keep per-executor startup lean: only the languages that
+    # actually appear in a batch get imported
+    if lang == "python":
+        from .python_lang import extract_python
+        return extract_python
+    if lang == "go":
+        from .go_lang import extract_go
+        return extract_go
+    if lang == "rust":
+        from .rust_lang import extract_rust
+        return extract_rust
+    if lang in ("typescript", "react"):
+        from .ts_lang import make_ts_extractor
+        return make_ts_extractor(lang)
+    return None
+
+
+def extraction_to_rows(ex: Extraction, repo: str, lang: str) -> list[dict]:
+    rows: list[dict] = []
+    for n in ex.nodes:
+        rows.append({
+            "rec": "node", "node_type": n.node_type, "name": n.name,
+            "file": n.file, "start": n.start, "end": n.end, "body": n.body,
+            "docs": n.docs, "hash": None, "data_type": n.data_type,
+            "meta": n.meta or None, "repo": repo, "lang": lang,
+        })
+    for e in ex.edges:
+        st, sn, sf, ss, sv = e.src
+        dt, dn, df_, ds, dv = e.dst
+        rows.append({
+            "rec": "edge", "edge_type": e.edge_type,
+            "src_type": st, "src_name": sn, "src_file": sf, "src_start": ss,
+            "src_verb": sv, "dst_type": dt, "dst_name": dn, "dst_file": df_,
+            "dst_start": ds, "dst_verb": dv, "operand": e.operand,
+            "repo": repo, "lang": lang,
+        })
+    for m in ex.mentions:
+        st, sn, sf, ss, sv = m.src
+        rows.append({
+            "rec": "mention", "m_kind": m.kind,
+            "src_type": st, "src_name": sn, "src_file": sf, "src_start": ss,
+            "src_verb": sv, "dst_name": m.target, "dst_file": m.dst_file,
+            "dst_start": m.row, "operand": m.operand,
+            "m_extra": m.extra or None, "repo": repo, "lang": lang,
+        })
+    return rows
+
+
+def extract_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (repo, path, lang, content) -> RAW rows."""
+    for pdf in pdfs:
+        out: list[dict] = []
+        for repo, path, lang, content in zip(
+                pdf["repo"], pdf["path"], pdf["lang"], pdf["content"]):
+            if content is None or len(content.encode("utf-8", "ignore")) > MAX_FILE_SIZE:
+                continue  # skipped=too_large / unreadable — File node still
+                # exists (file plane); parser never sees it (core.rs:298-364)
+            fn = get_extractor(lang)
+            if fn is None:
+                continue
+            try:
+                ex = fn(path, content)
+            except Exception:
+                continue  # parser crash on one file must not kill the batch
+            out.extend(extraction_to_rows(ex, repo, lang))
+        if out:
+            # explicit None for absent fields — missing dict keys become NaN
+            # in pandas, which breaks Arrow map/long conversion
+            full = [{c: r.get(c) for c in _RAW_COLS} for r in out]
+            yield pd.DataFrame(full, columns=_RAW_COLS)
+        else:
+            yield pd.DataFrame({c: pd.Series(dtype="object") for c in _RAW_COLS})
+
+
+def extract_raw(source_df):
+    """source (repo,path,commit,lang,content) -> RAW DataFrame.
+
+    The source is repartitioned by (repo, lang) first so one task parses one
+    repo-language slice — co-locates later symbol-table shuffles and keeps
+    parser cache locality per task (SURVEY.md §4).
+    """
+    cols = ["repo", "path", "lang", "content"]
+    return source_df.select(*cols).mapInPandas(extract_batch, schema=RAW_SCHEMA)

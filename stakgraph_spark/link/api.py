@@ -1,0 +1,138 @@
+"""Request↔Endpoint and test↔endpoint linking.
+
+normalize_frontend_path / normalize_backend_path / paths_match / verbs_match
+re-expressed as Spark column expressions so the match is an equi-join on
+(verb, segment count) plus a vectorized per-segment zip_with filter — no
+Python row code (reference: ast/src/lang/linker.rs:362-506).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..keys import node_key_col
+
+KEY = ["repo"]  # api linking is cross-language within a repo (repo.rs:164-176)
+
+
+def normalize_frontend(col: Column) -> Column:
+    """linker.rs:398-436: drop scheme+host, strip leading ${...}, mask ${...}
+    segments to :param, ensure leading slash. Template-only paths -> NULL."""
+    c = F.when(col.rlike(r"^\$\{[^{]*\}$"), F.lit(None)).otherwise(col)
+    # strip scheme://host
+    c = F.when(c.contains("://"),
+               F.regexp_replace(c, r"^[^:]*://[^/]*", "")).otherwise(c)
+    # leading ${...} prefix
+    c = F.when(c.startswith("${"), F.regexp_replace(c, r"^\$\{[^}]*\}", "")).otherwise(c)
+    c = F.regexp_replace(c, r"\$\{[^}]+\}", ":param")
+    c = F.regexp_replace(c, "^/+", "")
+    return F.concat(F.lit("/"), c)
+
+
+def normalize_backend(col: Column) -> Column:
+    """linker.rs:438-476: 7 param syntaxes -> :param, strip trailing slash,
+    ensure leading slash."""
+    c = col
+    for pat in (r"<[^>]+>", r":[^/]+", r"\{[^}]+\}", r"\([^)]+\)",
+                r"\[\.\.\.[^\]]+\]", r"\[[^\]]+\]"):
+        c = F.regexp_replace(c, pat, ":param")
+    c = F.when((F.length(c) > 1) & c.endswith("/"),
+               c.substr(F.lit(1), F.length(c) - 1)).otherwise(c)
+    return F.when(c.startswith("/"), c).otherwise(F.concat(F.lit("/"), c))
+
+
+def _segments(c: Column) -> Column:
+    return F.filter(F.split(c, "/"), lambda s: s != "")
+
+
+def _paths_match(f_seg: Column, b_seg: Column) -> Column:
+    """linker.rs:478-506 — equal length pre-joined; api-prefix agreement +
+    per-segment equal-or-param."""
+    api_rule = ~(((F.element_at(f_seg, 1) == "api") | (F.element_at(b_seg, 1) == "api"))
+                 & (F.element_at(f_seg, 1) != F.element_at(b_seg, 1)))
+    segs_ok = F.aggregate(
+        F.zip_with(f_seg, b_seg,
+                   lambda a, b: (a == b) | a.startswith(":") | b.startswith(":")),
+        F.lit(True), lambda acc, x: acc & x)
+    # empty path arrays (root) vacuously match
+    return api_rule & segs_ok
+
+
+def link_requests_to_endpoints(nodes: DataFrame) -> DataFrame:
+    reqs = (nodes.where(F.col("node_type") == "Request")
+            .select("repo", "lang", "name", "file", "start",
+                    F.element_at("meta", "verb").alias("verb"))
+            .withColumn("npath", normalize_frontend(F.col("name")))
+            .where(F.col("npath").isNotNull() & F.col("verb").isNotNull()))
+    eps = (nodes.where(F.col("node_type") == "Endpoint")
+           .select("repo", F.col("lang").alias("ep_lang"),
+                   F.col("name").alias("ep_name"), F.col("file").alias("ep_file"),
+                   F.col("start").alias("ep_start"),
+                   F.element_at("meta", "verb").alias("ep_verb"))
+           .withColumn("ep_npath", normalize_backend(F.col("ep_name")))
+           .where(F.col("ep_verb").isNotNull()))
+    r = reqs.withColumn("fseg", _segments("npath")) \
+            .withColumn("nseg", F.size("fseg")) \
+            .withColumn("uverb", F.upper("verb"))
+    e = eps.withColumn("bseg", _segments("ep_npath")) \
+           .withColumn("nseg", F.size("bseg")) \
+           .withColumn("uverb", F.upper("ep_verb"))
+    j = (r.join(e, KEY + ["nseg", "uverb"], "inner")
+          .where(_paths_match(F.col("fseg"), F.col("bseg"))))
+    return j.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.lit("Request"), F.col("name"), F.col("file"),
+                     F.col("start"), F.col("verb")).alias("src_key"),
+        node_key_col(F.lit("Endpoint"), F.col("ep_name"), F.col("ep_file"),
+                     F.col("ep_start"), F.col("ep_verb")).alias("dst_key"),
+    )
+
+
+# the 11 verb-extraction regexes of linker.rs:327-359 (capture group 1)
+_VERB_PATTERNS = [
+    r"(?i)\b(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)\s*\(",
+    r"(?i)\.(get|post|put|delete|patch|head|options)\s*\(",
+    r"(?i)method\s*:\s*[\"']?(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)[\"']?",
+    r"(?i)type\s*:\s*[\"']?(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)[\"']?",
+]
+
+
+def link_integration_tests(nodes: DataFrame) -> DataFrame:
+    """IntegrationTest body contains endpoint name (case-insensitive) + verb
+    agreement -> Calls edge (linker.rs:34-131).
+
+    The contains-join explodes tests × endpoints per repo; endpoints per repo
+    are few (bounded by route count), so this stays linear in tests. At
+    100 TB the endpoint side is broadcast."""
+    tests = (nodes.where(F.col("node_type") == "IntegrationTest")
+             .select("repo", "lang", "name", "file", "start",
+                     F.lower(F.coalesce("body", F.lit(""))).alias("body_lc"),
+                     F.coalesce("body", F.lit("")).alias("body")))
+    for i, pat in enumerate(_VERB_PATTERNS):
+        tests = tests.withColumn(
+            f"v{i}", F.regexp_extract_all("body", F.lit(pat), 1))
+    tests = tests.withColumn(
+        "test_verbs",
+        F.array_distinct(F.transform(
+            F.flatten(F.array(*[F.col(f"v{i}") for i in range(len(_VERB_PATTERNS))])),
+            lambda v: F.upper(v)))).drop(*[f"v{i}" for i in range(len(_VERB_PATTERNS))])
+
+    eps = (nodes.where(F.col("node_type") == "Endpoint")
+           .select("repo", F.col("name").alias("ep_name"),
+                   F.col("file").alias("ep_file"), F.col("start").alias("ep_start"),
+                   F.element_at("meta", "verb").alias("ep_verb")))
+    j = (tests.join(F.broadcast(eps), KEY, "inner")
+         .where(F.instr(F.col("body_lc"), F.lower(F.col("ep_name"))) > 0)
+         .where((F.size("test_verbs") == 0)
+                | F.col("ep_verb").isNull()
+                | F.array_contains("test_verbs", F.upper("ep_verb"))))
+    return j.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.lit("IntegrationTest"), F.col("name"), F.col("file"),
+                     F.col("start")).alias("src_key"),
+        node_key_col(F.lit("Endpoint"), F.col("ep_name"), F.col("ep_file"),
+                     F.col("ep_start"), F.col("ep_verb")).alias("dst_key"),
+    )

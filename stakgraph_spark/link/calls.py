@@ -1,0 +1,230 @@
+"""Call-site resolution — the reference's priority cascade re-expressed as
+distributed joins.
+
+Reference semantics: ast/src/lang/call_finder.rs:41-128 — for each call
+mention (called, operand?) try, in order, first hit wins:
+
+  1. global_unique (0.90)  exactly one non-empty-body Function of that name
+                           (self excluded; mocks dropped on tie)
+  2. same_file    (0.85)   first Function of that name in the caller's file
+                           (non-empty body, different start)
+  3. import       (0.80)   name imported from module M -> Function of that
+                           name whose file contains M
+  4. same_dir     (0.45)   unique non-mock Function of that name in the
+                           caller's directory
+  5. operand      (0.70)   operand is an Instance -> its class's method
+  6. nested_var   (0.60)   operand is a Var -> Function with meta.nested_in
+  7. member_expr  (0.35)   resolve the operand itself as a function (cascade
+                           1-4 on the base object)
+
+Scale design: every strategy keys its lookup on (repo, lang, name[, file|dir])
+and is PRE-AGGREGATED to one row per key before the mention join, so hub
+symbols (`get`, `new`, `main` defined in thousands of files) produce one
+summary row instead of an exploding fanout — the skew the north rule calls
+out is defused by aggregation rather than salting, which is strictly cheaper
+(the salted variant is kept in utils for non-aggregatable joins).
+Tie-breaking mirrors the reference's BTreeMap iteration order by min_by over
+the canonical node_key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..keys import node_key_col, sanitize_col
+
+KEY = ["repo", "lang"]
+
+
+def _fn_base(functions: DataFrame) -> DataFrame:
+    """Symbol-table base: one row per Function node with resolution columns."""
+    return functions.select(
+        "repo", "lang", "name", "file", "start",
+        (F.length(F.coalesce(F.col("body"), F.lit(""))) > 0).alias("nonempty"),
+        F.col("file").contains("mock").alias("is_mock"),
+        F.regexp_replace("file", "/[^/]*$", "").alias("dir"),
+        F.element_at(F.col("meta"), "operand").alias("m_operand"),
+        F.element_at(F.col("meta"), "nested_in").alias("m_nested_in"),
+        node_key_col(F.lit("Function"), F.col("name"), F.col("file"),
+                     F.col("start")).alias("skey"),
+    )
+
+
+def _cand(extra: list[str] | None = None) -> Column:
+    cols = ["file", "start"] + (extra or [])
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def _first2(df: DataFrame, group: list[str], flt: Column) -> DataFrame:
+    """cnt + first two candidates in node-key order per group (enough to
+    implement 'unique after excluding self')."""
+    w = Window.partitionBy(*group).orderBy("skey")
+    d = (df.where(flt)
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("cnt", F.count("*").over(Window.partitionBy(*group))))
+    firsts = (d.where(F.col("rn") <= 2)
+                .groupBy(*group)
+                .agg(F.max("cnt").alias("cnt"),
+                     F.min_by(_cand(), "skey").alias("c1"),
+                     F.max_by(_cand(), F.when(F.col("rn") <= 2, F.col("skey"))).alias("c2")))
+    return firsts
+
+
+def _pick_not_self(cnt: Column, c1: Column, c2: Column, self_in: Column) -> Column:
+    """The unique candidate after excluding self, else NULL."""
+    eff = cnt - self_in.cast("int")
+    is_self1 = (c1["file"] == F.col("src_file")) & (c1["start"] == F.col("src_start"))
+    return F.when(eff == 1, F.when(self_in & is_self1, c2).otherwise(c1))
+
+
+def resolve_calls(mentions: DataFrame, functions: DataFrame,
+                  instances: DataFrame, variables: DataFrame,
+                  imports_map: DataFrame) -> DataFrame:
+    """mentions: (repo,lang,src_type,src_name,src_file,src_start,called,operand)
+    -> resolved (…, dst_file, dst_start, confidence, strategy)."""
+    fns = _fn_base(functions)
+
+    resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map)
+
+    # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
+    # object as a function via cascade 1-4 (format.rs:1208-1239).
+    unres = resolved.where(F.col("dst_file").isNull() & F.col("operand").isNotNull())
+    base = (unres.drop("dst_file", "dst_start", "confidence", "strategy")
+                 .withColumn("orig_called", F.col("called"))
+                 .withColumn("called", F.col("operand"))
+                 .withColumn("operand", F.lit(None).cast("string")))
+    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map)
+    member = (base_res.where(F.col("dst_file").isNotNull())
+              .withColumn("dst_name", F.col("called"))   # the base object's name
+              .withColumn("called", F.col("orig_called"))
+              .drop("orig_called")
+              .withColumn("confidence", F.lit(0.35))
+              .withColumn("strategy", F.lit("member_expr")))
+
+    direct = (resolved.where(F.col("dst_file").isNotNull())
+              .withColumn("dst_name", F.col("called")))
+    return direct.unionByName(member, allowMissingColumns=True)
+
+
+def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
+                    variables: DataFrame, imports_map: DataFrame) -> DataFrame:
+    m = mentions
+
+    # -- 1. global_unique: one summary row per (repo,lang,name) ------------
+    glob = _first2(fns, KEY + ["name"], F.col("nonempty"))
+    glob_nm = _first2(fns, KEY + ["name"], F.col("nonempty") & ~F.col("is_mock"))
+    glob = (glob.alias("g")
+            .join(glob_nm.selectExpr("repo", "lang", "name",
+                                     "cnt as nm_cnt", "c1 as nm_c1", "c2 as nm_c2"),
+                  KEY + ["name"], "left"))
+
+    m = m.join(glob.withColumnRenamed("name", "called"), KEY + ["called"], "left")
+    self_in = (F.col("src_type") == "Function") & (F.col("called") == F.col("src_name"))
+    self_in_nm = self_in & ~F.col("src_file").contains("mock")
+    g_pick = F.coalesce(
+        _pick_not_self(F.col("cnt"), F.col("c1"), F.col("c2"), self_in),
+        _pick_not_self(F.col("nm_cnt"), F.col("nm_c1"), F.col("nm_c2"), self_in_nm),
+    )
+    m = (m.withColumn("r_global", g_pick)
+          .drop("cnt", "c1", "c2", "nm_cnt", "nm_c1", "nm_c2"))
+
+    # -- 2. same_file: FIRST function of that (name, file) in key order; hit
+    # only if it has a body and a different start (call_finder.rs:345-369) --
+    byfile = (fns.groupBy(*KEY, "name", "file")
+              .agg(F.min_by(F.struct("start", "nonempty"), "skey").alias("f1")))
+    m = (m.join(byfile.withColumnRenamed("name", "called")
+                      .withColumnRenamed("file", "src_file"),
+                KEY + ["called", "src_file"], "left")
+          .withColumn(
+              "r_same_file",
+              F.when(F.col("f1").isNotNull() & F.col("f1.nonempty")
+                     & (F.col("f1.start") != F.col("src_start")),
+                     F.struct(F.col("src_file").alias("file"),
+                              F.col("f1.start").alias("start"))))
+          .drop("f1"))
+
+    # -- 3. import: imported name -> function whose file contains the module
+    imp = (m.select(*KEY, "src_file", "called").distinct()
+           .join(imports_map.selectExpr("repo", "lang", "file as src_file",
+                                        "name as called", "module"),
+                 KEY + ["src_file", "called"], "inner")
+           .join(fns.withColumnRenamed("name", "called"), KEY + ["called"], "inner")
+           .where(F.col("nonempty") & (F.instr(F.col("file"), F.col("module")) > 0))
+           .groupBy(*KEY, "src_file", "called")
+           .agg(F.min_by(_cand(), "skey").alias("r_import")))
+    m = m.join(imp, KEY + ["src_file", "called"], "left")
+
+    # -- 4. same_dir: unique non-mock candidate in the caller's directory --
+    bydir = _first2(fns, KEY + ["name", "dir"],
+                    F.col("nonempty") & ~F.col("is_mock"))
+    m = (m.withColumn("dir", F.regexp_replace("src_file", "/[^/]*$", ""))
+          .join(bydir.withColumnRenamed("name", "called"), KEY + ["called", "dir"], "left"))
+    self_in_dir = ((F.col("src_type") == "Function")
+                   & (F.col("called") == F.col("src_name"))
+                   & ~F.col("src_file").contains("mock"))
+    m = (m.withColumn("r_same_dir",
+                      _pick_not_self(F.col("cnt"), F.col("c1"), F.col("c2"), self_in_dir))
+          .drop("cnt", "c1", "c2", "dir"))
+
+    # -- 5. operand: Instance -> class -> method (call_finder.rs:288-310) --
+    inst = (instances.where(F.col("data_type").isNotNull())
+            .groupBy(*KEY, "name")
+            .agg(F.min_by("data_type", node_key_col(F.lit("Instance"), F.col("name"),
+                                                    F.col("file"), F.col("start")))
+                 .alias("data_type"))
+            .selectExpr("repo", "lang", "name as operand", "data_type"))
+    by_operand = (fns.where(F.col("m_operand").isNotNull())
+                  .groupBy(*KEY, "name", "m_operand")
+                  .agg(F.min_by(_cand(), "skey").alias("r_operand")))
+    m = (m.join(F.broadcast(inst), KEY + ["operand"], "left")
+          .join(by_operand.withColumnRenamed("name", "called")
+                          .withColumnRenamed("m_operand", "data_type"),
+                KEY + ["called", "data_type"], "left")
+          .drop("data_type"))
+
+    # -- 6. nested_var: Var operand -> Function meta.nested_in == operand --
+    var_names = (variables.select(*KEY, F.col("name").alias("operand")).distinct()
+                 .withColumn("var_exists", F.lit(True)))
+    trim_q = "^[\"'`]|[\"'`]$"
+    by_nested = (fns.where(F.col("m_nested_in").isNotNull())
+                 .withColumn("nested_in", F.regexp_replace("m_nested_in", trim_q, ""))
+                 .groupBy(*KEY, "name", "nested_in")
+                 .agg(F.min_by(_cand(), "skey").alias("r_nested")))
+    m = (m.join(F.broadcast(var_names), KEY + ["operand"], "left")
+          .withColumn("operand_trim",
+                      F.regexp_replace(F.coalesce("operand", F.lit("")), trim_q, ""))
+          .join(by_nested.withColumnRenamed("name", "called")
+                         .withColumnRenamed("nested_in", "operand_trim"),
+                KEY + ["called", "operand_trim"], "left")
+          .withColumn("r_nested", F.when(F.col("var_exists"), F.col("r_nested")))
+          .drop("var_exists", "operand_trim"))
+
+    # -- priority coalesce (first hit wins) --------------------------------
+    pick = F.coalesce(
+        F.when(F.col("r_global").isNotNull(),
+               F.struct(F.col("r_global").alias("c"), F.lit(0.90).alias("conf"),
+                        F.lit("global_unique").alias("strat"))),
+        F.when(F.col("r_same_file").isNotNull(),
+               F.struct(F.col("r_same_file").alias("c"), F.lit(0.85).alias("conf"),
+                        F.lit("same_file").alias("strat"))),
+        F.when(F.col("r_import").isNotNull(),
+               F.struct(F.col("r_import").alias("c"), F.lit(0.80).alias("conf"),
+                        F.lit("import").alias("strat"))),
+        F.when(F.col("r_same_dir").isNotNull(),
+               F.struct(F.col("r_same_dir").alias("c"), F.lit(0.45).alias("conf"),
+                        F.lit("same_dir").alias("strat"))),
+        F.when(F.col("r_operand").isNotNull(),
+               F.struct(F.col("r_operand").alias("c"), F.lit(0.70).alias("conf"),
+                        F.lit("operand").alias("strat"))),
+        F.when(F.col("r_nested").isNotNull(),
+               F.struct(F.col("r_nested").alias("c"), F.lit(0.60).alias("conf"),
+                        F.lit("nested_var").alias("strat"))),
+    )
+    return (m.withColumn("picked", pick)
+             .withColumn("dst_file", F.col("picked.c.file"))
+             .withColumn("dst_start", F.col("picked.c.start"))
+             .withColumn("confidence", F.col("picked.conf"))
+             .withColumn("strategy", F.col("picked.strat"))
+             .drop("picked", "r_global", "r_same_file", "r_import", "r_same_dir",
+                   "r_operand", "r_nested"))

@@ -1,0 +1,311 @@
+"""End-to-end graph construction pipeline.
+
+Planes (SURVEY.md §7):
+  1. file plane    — Repository/Language/Directory/File nodes + CONTAINS
+                     hierarchy, sha256 invariant (pure DataFrame ops)
+  2. extract plane — one mapInPandas pass over (repo,lang)-partitioned source
+                     -> nodes + in-file edges + unresolved mentions
+  3. link plane    — symbol tables + priority-cascade joins (calls, handlers,
+                     implements, imports, api, tests)
+  4. prune plane   — endpoint filter, DataModel-vs-Class dedup, orphan prune
+  5. materialize   — partitioned graph_nodes / graph_edges (+ triples view)
+
+Stage boundaries mirror the reference's 16-step builder
+(ast/src/builder/core.rs:48-235) but restructured so every per-file step is
+in plane 2 and every cross-file step is a join in plane 3.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_raw
+from .keys import node_key_col
+from .langspec import LANGS
+from .link import api as api_link
+from .link import simple as simple_link
+from .link.calls import resolve_calls
+from .source import with_skip_flags
+
+EDGE_COLS = ["src_key", "dst_key", "edge_type", "operand", "confidence",
+             "strategy", "repo", "lang"]
+
+
+@dataclass
+class GraphResult:
+    nodes: DataFrame
+    edges: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _key(df: DataFrame, type_col="node_type") -> DataFrame:
+    verb = F.element_at("meta", "verb")
+    return df.withColumn(
+        "node_key",
+        F.when(verb.isNotNull(),
+               node_key_col(F.col(type_col), F.col("name"), F.col("file"),
+                            F.col("start"), verb))
+        .otherwise(node_key_col(F.col(type_col), F.col("name"), F.col("file"),
+                                F.col("start"))))
+
+
+def _edge_keys(df: DataFrame) -> DataFrame:
+    """edge rows with explicit endpoint refs -> key columns."""
+    def k(prefix: str):
+        verb = F.col(f"{prefix}_verb")
+        return F.when(
+            verb.isNotNull(),
+            node_key_col(F.col(f"{prefix}_type"), F.col(f"{prefix}_name"),
+                         F.col(f"{prefix}_file"), F.col(f"{prefix}_start"), verb)
+        ).otherwise(
+            node_key_col(F.col(f"{prefix}_type"), F.col(f"{prefix}_name"),
+                         F.col(f"{prefix}_file"), F.col(f"{prefix}_start")))
+    return df.withColumn("src_key", k("src")).withColumn("dst_key", k("dst"))
+
+
+def _norm_edges(df: DataFrame) -> DataFrame:
+    for c, t in (("operand", "string"), ("confidence", "double"), ("strategy", "string")):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df.select(*EDGE_COLS)
+
+
+def file_plane(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Repository / Language / Directory / File nodes + containment edges.
+
+    File.hash = sha256(content) — the per-row invariant vs the source table
+    (reference ast/src/builder/utils.rs:247-258).  File bodies are NOT copied
+    into the graph (at 10^12 files that doubles the table; the hash carries
+    the invariant)."""
+    pkg_names = sorted({p for s in LANGS.values() for p in s.pkg_files})
+
+    base = F.element_at(F.split("path", "/"), -1)
+    files = (src.select(
+        "repo", "lang", "path", "content",
+        base.alias("name"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("hash"),
+        F.col("skipped"))
+        .withColumn("is_pkg", F.col("name").isin(pkg_names)))
+
+    file_nodes = files.select(
+        F.lit("File").alias("node_type"), "name",
+        F.col("path").alias("file"),
+        F.lit(0).cast("long").alias("start"), F.lit(0).cast("long").alias("end"),
+        F.lit("").alias("body"), F.lit(None).cast("string").alias("docs"),
+        "hash", F.lit(None).cast("string").alias("data_type"),
+        F.when(F.col("is_pkg"), F.create_map(F.lit("pkg_file"), F.lit("true")))
+         .when(F.col("skipped").isNotNull(),
+               F.create_map(F.lit("skipped"), F.col("skipped")))
+         .otherwise(F.create_map().cast("map<string,string>")).alias("meta"),
+        "repo", "lang")
+
+    # directory prefixes: explode each path's ancestor dirs
+    dirs = (src.select("repo", "lang", F.col("path"))
+            .withColumn("parts", F.split("path", "/"))
+            .where(F.size("parts") >= 2)  # root-level files have no parent dir
+            .select("repo", "lang",
+                    F.explode(F.expr(
+                        "transform(sequence(1, size(parts)-1), "
+                        "i -> array_join(slice(parts, 1, i), '/'))")).alias("dir"))
+            .distinct())
+    dir_nodes = dirs.select(
+        F.lit("Directory").alias("node_type"),
+        F.element_at(F.split("dir", "/"), -1).alias("name"),
+        F.col("dir").alias("file"),
+        F.lit(0).cast("long").alias("start"), F.lit(0).cast("long").alias("end"),
+        F.lit("").alias("body"), F.lit(None).cast("string").alias("docs"),
+        F.lit(None).cast("string").alias("hash"),
+        F.lit(None).cast("string").alias("data_type"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+        "repo", "lang")
+
+    repos = src.select("repo", "lang", "commit").distinct()
+    repo_nodes = repos.groupBy("repo").agg(F.min("commit").alias("commit")).select(
+        F.lit("Repository").alias("node_type"), F.col("repo").alias("name"),
+        F.lit("").alias("file"),
+        F.lit(0).cast("long").alias("start"), F.lit(0).cast("long").alias("end"),
+        F.lit("").alias("body"), F.lit(None).cast("string").alias("docs"),
+        F.col("commit").alias("hash"), F.lit(None).cast("string").alias("data_type"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+        "repo", F.lit("").alias("lang"))
+    lang_nodes = repos.select(
+        F.lit("Language").alias("node_type"), F.col("lang").alias("name"),
+        F.lit("").alias("file"),
+        F.lit(0).cast("long").alias("start"), F.lit(0).cast("long").alias("end"),
+        F.lit("").alias("body"), F.lit(None).cast("string").alias("docs"),
+        F.lit(None).cast("string").alias("hash"),
+        F.lit(None).cast("string").alias("data_type"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+        "repo", "lang")
+
+    nodes = file_nodes.unionByName(dir_nodes).unionByName(repo_nodes) \
+                      .unionByName(lang_nodes)
+
+    # containment edges -------------------------------------------------
+    def dirname(c):  # '' when no slash
+        return F.when(c.contains("/"), F.regexp_replace(c, "/[^/]*$", "")).otherwise(F.lit(""))
+
+    file_parent = files.select(
+        "repo", "lang",
+        F.lit("Contains").alias("edge_type"),
+        F.when(dirname(F.col("path")) == "",
+               node_key_col(F.lit("Repository"), F.col("repo"), F.lit(""), F.lit(0)))
+         .otherwise(node_key_col(F.lit("Directory"),
+                                 F.element_at(F.split(dirname(F.col("path")), "/"), -1),
+                                 dirname(F.col("path")), F.lit(0))).alias("src_key"),
+        node_key_col(F.lit("File"), base, F.col("path"), F.lit(0)).alias("dst_key"))
+
+    dir_parent = dirs.select(
+        "repo", "lang",
+        F.lit("Contains").alias("edge_type"),
+        F.when(~F.col("dir").contains("/"),
+               node_key_col(F.lit("Repository"), F.col("repo"), F.lit(""), F.lit(0)))
+         .otherwise(node_key_col(F.lit("Directory"),
+                                 F.element_at(F.split(dirname(F.col("dir")), "/"), -1),
+                                 dirname(F.col("dir")), F.lit(0))).alias("src_key"),
+        node_key_col(F.lit("Directory"), F.element_at(F.split("dir", "/"), -1),
+                     F.col("dir"), F.lit(0)).alias("dst_key"))
+
+    of_lang = repos.select(
+        "repo", "lang",
+        F.lit("Of").alias("edge_type"),
+        node_key_col(F.lit("Repository"), F.col("repo"), F.lit(""), F.lit(0)).alias("src_key"),
+        node_key_col(F.lit("Language"), F.col("lang"), F.lit(""), F.lit(0)).alias("dst_key"))
+
+    edges = file_parent.unionByName(dir_parent).unionByName(of_lang)
+    return nodes, _norm_edges(edges)
+
+
+def build_graph(spark: SparkSession, source: DataFrame,
+                shuffle_partitions: int | None = None) -> GraphResult:
+    metrics: list[dict] = []
+    t0 = time.time()
+
+    def stage(name: str):
+        metrics.append({"stage": name, "t": round(time.time() - t0, 3)})
+
+    src = with_skip_flags(source)
+    # explicit repartition by (repo, lang): parse tasks are repo-lang slices,
+    # and every downstream symbol-table shuffle is keyed by (repo, lang, ...)
+    src = src.repartition("repo", "lang")
+
+    fp_nodes, fp_edges = file_plane(src)
+    stage("file_plane")
+
+    # localCheckpoint: the RAW stream feeds ~10 downstream join families;
+    # truncating lineage here keeps each family's plan shallow (Catalyst
+    # planning time was the bottleneck, not data) and avoids re-running the
+    # UDF per consumer.  On a cluster this becomes a checkpoint to the
+    # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
+    raw = extract_raw(src.where(F.col("skipped").isNull())).localCheckpoint()
+
+    ex_nodes = raw.where(F.col("rec") == "node").select(
+        "node_type", "name", "file", "start", "end", "body", "docs", "hash",
+        "data_type", "meta", "repo", "lang")
+
+    # endpoint admission: meta.handler required (btreemap_graph.rs:352-372),
+    # dedup on (name, file, verb)
+    eps = ex_nodes.where(F.col("node_type") == "Endpoint") \
+        .where(F.element_at("meta", "handler").isNotNull()) \
+        .withColumn("verb", F.element_at("meta", "verb")) \
+        .dropDuplicates(["repo", "lang", "name", "file", "verb"]).drop("verb")
+    ex_nodes = ex_nodes.where(F.col("node_type") != "Endpoint").unionByName(eps)
+
+    nodes = fp_nodes.unionByName(ex_nodes)
+    nodes = _key(nodes)
+    # BTreeMap insert = last-write-wins on canonical key; order-insensitive
+    # here (duplicate keys are re-extractions of the same entity)
+    nodes = nodes.dropDuplicates(["node_key"])
+    nodes = nodes.localCheckpoint()
+    stage("nodes_assembled")
+
+    # File -CONTAINS-> extracted node (add_node_with_parent semantics)
+    files_by_path = nodes.where(F.col("node_type") == "File").select(
+        "repo", "lang", F.col("file").alias("file"),
+        F.col("node_key").alias("file_key"))
+    file_contains = (_key(ex_nodes).select("repo", "lang", "file", "node_key")
+                     .join(files_by_path, ["repo", "lang", "file"], "inner")
+                     .select("repo", "lang",
+                             F.lit("Contains").alias("edge_type"),
+                             F.col("file_key").alias("src_key"),
+                             F.col("node_key").alias("dst_key")))
+
+    direct_edges = _edge_keys(raw.where(F.col("rec") == "edge")).select(
+        "repo", "lang", "edge_type", "src_key", "dst_key", "operand")
+    stage("direct_edges")
+
+    # ---------------- linking plane ----------------
+    mention = raw.where(F.col("rec") == "mention")
+    calls_m = mention.where(F.col("m_kind") == "call").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        F.col("dst_name").alias("called"), "operand")
+    imports_map = mention.where(F.col("m_kind") == "import").select(
+        "repo", "lang", F.col("src_file").alias("file"),
+        F.col("dst_name").alias("name"), F.col("dst_file").alias("module"))
+
+    functions = nodes.where(F.col("node_type") == "Function")
+    instances = nodes.where(F.col("node_type") == "Instance")
+    variables = nodes.where(F.col("node_type") == "Var")
+
+    resolved = resolve_calls(calls_m, functions, instances, variables, imports_map)
+    call_edges = resolved.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
+                     F.col("dst_start")).alias("dst_key"),
+        "operand", "confidence", "strategy")
+    stage("calls_resolved")
+
+    impl_m = mention.where(F.col("m_kind") == "implements").select(
+        "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
+    impl_edges = simple_link.resolve_implements(impl_m, nodes)
+
+    handler_m = mention.where(F.col("m_kind") == "handler").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "src_verb", "dst_name")
+    handler_edges = simple_link.resolve_handlers(handler_m, nodes)
+
+    ident_m = mention.where(F.col("m_kind") == "ident").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "dst_name")
+    import_bodies = (nodes.where(F.col("node_type") == "Import")
+                     .select("repo", "lang", F.col("file").alias("src_file"),
+                             F.col("body").alias("import_body")))
+    var_edges = simple_link.function_contains_vars(ident_m, nodes, import_bodies)
+
+    dm_m = mention.where(F.col("m_kind") == "dm_within").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "dst_name")
+    dm_edges = simple_link.function_contains_datamodels(dm_m, nodes)
+
+    import_edge_m = mention.where(F.col("m_kind") == "import_edge").select(
+        "repo", "lang", "src_name", "src_file", "src_start", "dst_name", "dst_file")
+    imp_edges = simple_link.import_edges(import_edge_m, nodes)
+
+    parent_edges = simple_link.class_inherits(nodes)
+    of_edges = simple_link.instance_of(nodes)
+    api_edges = api_link.link_requests_to_endpoints(nodes)
+    itest_edges = api_link.link_integration_tests(nodes)
+    stage("linking_declared")
+
+    edges = _norm_edges(direct_edges)
+    for e in (file_contains, call_edges, impl_edges, handler_edges, var_edges,
+              dm_edges, imp_edges, parent_edges, of_edges, api_edges,
+              itest_edges, fp_edges):
+        edges = edges.unionByName(_norm_edges(e))
+    edges = edges.localCheckpoint()  # truncate the 13-family union lineage
+    stage("edges_linked")
+
+    # ---------------- prune plane ----------------
+    from .prune import prune_graph
+    nodes, edges = prune_graph(nodes, edges)
+    stage("pruned")
+
+    return GraphResult(nodes=nodes, edges=edges, metrics=metrics)

@@ -1,0 +1,105 @@
+"""Canonicalization / pruning passes (SURVEY.md §2D).
+
+All anti-joins; key-level semantics mirror btreemap_graph.rs exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_datamodels_vs_classes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Remove a DataModel when a Class with the same (name, file) has OPERAND
+    edges — the python clean_graph directive (btreemap_graph.rs:718-754)."""
+    operand_srcs = (edges.where(F.col("edge_type") == "Operand")
+                    .select(F.col("src_key")).distinct())
+    classes_with_methods = (nodes.where(F.col("node_type") == "Class")
+                            .join(operand_srcs,
+                                  nodes["node_key"] == operand_srcs["src_key"], "leftsemi")
+                            .select("repo", "lang", "name", "file").distinct())
+    dms = nodes.where(F.col("node_type") == "DataModel")
+    dms_drop = dms.join(classes_with_methods, ["repo", "lang", "name", "file"],
+                        "leftsemi").select("node_key")
+    return nodes.join(dms_drop, "node_key", "left_anti")
+
+
+def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """btreemap_graph.rs:756-885:
+    A. NestedIn functions (or var-nested) outside tests with no incoming
+       HANDLER/CALLS/RENDERS and no outgoing CALLS/HANDLER
+    B. functions spatially inside test ranges (unconditional)
+    C. var-nested functions in test files (unconditional)
+    """
+    funcs = nodes.where(F.col("node_type") == "Function") \
+                 .select("node_key", "repo", "lang", "file", "start", "end")
+    func_keys = funcs.select("node_key")
+
+    nested = edges.where(F.col("edge_type") == "NestedIn")
+    # NestedIn src must be a Function
+    nested = nested.join(func_keys.withColumnRenamed("node_key", "src_key"),
+                         "src_key", "leftsemi")
+    nested_in_func = nested.join(
+        func_keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi") \
+        .select("src_key").distinct()
+    nested_in_var = nested.where(F.col("dst_key").startswith("var-")) \
+        .select("src_key").distinct()
+    # A-candidates: nested-in-function minus those whose parent is a var
+    a_cand = nested_in_func.join(nested_in_var, "src_key", "left_anti") \
+                           .unionByName(nested_in_var).distinct()
+
+    # B: functions inside test spans (same file, start>=ts, end<=te)
+    tests = nodes.where(F.col("node_type").isin(
+        "UnitTest", "IntegrationTest", "E2eTest")).select(
+        "repo", "lang", F.col("file").alias("t_file"),
+        F.col("start").alias("ts"), F.col("end").alias("te"))
+    in_test = (funcs.join(tests, ["repo", "lang"])
+               .where((F.col("file") == F.col("t_file"))
+                      & (F.col("start") >= F.col("ts"))
+                      & (F.col("end") <= F.col("te")))
+               .select(F.col("node_key").alias("src_key")).distinct())
+
+    # C: var-nested functions living in test files
+    test_file = (F.col("file").rlike(r"(^|/)tests?(/|$)")
+                 | F.col("file").rlike(r"_test\.[a-z]+$")
+                 | F.col("file").rlike(r"\.(test|spec)\.[a-z]+$"))
+    var_nested_testfile = (nested_in_var
+                           .join(funcs.where(test_file)
+                                 .select(F.col("node_key").alias("src_key")),
+                                 "src_key", "leftsemi"))
+
+    a_cand = a_cand.join(in_test, "src_key", "left_anti") \
+                   .join(var_nested_testfile, "src_key", "left_anti")
+
+    has_incoming = (edges.where(F.col("edge_type").isin("Handler", "Calls", "Renders"))
+                    .select(F.col("dst_key").alias("src_key")).distinct())
+    has_outgoing = (edges.where(F.col("edge_type").isin("Calls", "Handler"))
+                    .select("src_key").distinct())
+    a_remove = a_cand.join(has_incoming, "src_key", "left_anti") \
+                     .join(has_outgoing, "src_key", "left_anti")
+
+    remove = a_remove.unionByName(in_test).unionByName(var_nested_testfile) \
+                     .distinct().withColumnRenamed("src_key", "node_key")
+    return remove
+
+
+def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # edge dedup first (BTreeSet semantics, btreemap_graph.rs:51-55)
+    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"])
+
+    removed = prune_orphan_functions(nodes, edges)
+    nodes = nodes.join(removed, "node_key", "left_anti")
+    edges = (edges
+             .join(removed.withColumnRenamed("node_key", "src_key"), "src_key", "left_anti")
+             .join(removed.withColumnRenamed("node_key", "dst_key"), "dst_key", "left_anti"))
+
+    nodes = dedup_datamodels_vs_classes(nodes, edges)
+
+    # drop edges whose endpoints no longer exist (dangling after prunes);
+    # Neo4j MERGE enforces this implicitly, the BTreeMap keeps edge+node sets
+    # consistent via remove_node
+    keys = nodes.select("node_key")
+    edges = (edges
+             .join(keys.withColumnRenamed("node_key", "src_key"), "src_key", "leftsemi")
+             .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
+    return nodes, edges

@@ -1,0 +1,124 @@
+"""Source-table construction.
+
+The pipeline input is an Iceberg/parquet table of source-code checkouts with
+columns (repo, path, commit, lang, content) — BASELINE.json input_hint.  For
+correctness runs we synthesize that table from the reference's fixture trees
+(read-only walk, FIXTURES.md §1); for benchmarks we replicate fixture files
+across R synthetic repos with deterministically mangled symbols
+(FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .langspec import LANGS, MAX_FILE_SIZE
+from .schema import SOURCE_SCHEMA
+
+REFERENCE_TESTING = "/root/reference/ast/src/testing"
+
+# fixture dir (under ast/src/testing/) -> language id, per the test
+# registrations in /root/reference/ast/src/testing/mod.rs:69-423
+FIXTURES = {
+    "go": "go",
+    "go_non_web": "go",
+    "rust": "rust",
+    "python/web": "python",
+    "python/data_science": "python",
+    "python/cli": "python",
+    "python/services": "python",
+    "python/module_calls": "python",
+    "typescript": "typescript",
+    "react": "react",
+    "nextjs": "react",
+}
+
+
+def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
+                 repo: str | None = None) -> list[dict]:
+    """One row per source file of a fixture tree.
+
+    Mirrors the reference's file collection: language extensions + package
+    files, skip dirs (lsp/src/language.rs:78-135).  File paths are kept
+    relative to the testing root so annotation `"file-suffix"` matching works
+    unchanged.
+    """
+    spec = LANGS[lang]
+    rows: list[dict] = []
+    base = os.path.join(root, fixture_dir)
+    repo = repo or f"fixtures/{fixture_dir}"
+    for dirpath, dirnames, filenames in os.walk(base):
+        dirnames[:] = sorted(d for d in dirnames
+                             if d not in spec.skip_dirs and not d.startswith("."))
+        for fn in sorted(filenames):
+            ext = fn.rsplit(".", 1)[-1] if "." in fn else ""
+            is_pkg = fn in spec.pkg_files or any(
+                fn.endswith(p) for p in spec.pkg_files if p.startswith("."))
+            if ext not in spec.exts and not is_pkg:
+                continue
+            if any(fn.endswith(sfe) for sfe in spec.skip_file_ends):
+                continue
+            full = os.path.join(dirpath, fn)
+            try:
+                with open(full, "rb") as f:
+                    raw = f.read()
+                content = raw.decode("utf-8")
+            except (OSError, UnicodeDecodeError):
+                content = None  # unreadable/binary -> flagged, not parsed
+            rel = os.path.relpath(full, root)
+            rows.append({
+                "repo": repo,
+                "path": rel,
+                "commit": "fixture",
+                "lang": lang,
+                "content": content,
+            })
+    return rows
+
+
+def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:
+    fixtures = fixtures or FIXTURES
+    rows: list[dict] = []
+    for fdir, lang in fixtures.items():
+        rows.extend(walk_fixture(fdir, lang))
+    return rows
+
+
+def fixture_source_df(spark: SparkSession, fixtures: dict[str, str] | None = None) -> DataFrame:
+    return spark.createDataFrame(fixture_source_rows(fixtures), SOURCE_SCHEMA)
+
+
+_IDENT = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
+
+
+def replicate_rows(rows: list[dict], copies: int) -> list[dict]:
+    """Deterministic scale-up: copy every repo `copies` times, mangling each
+    repo's symbols with a per-copy suffix so cross-repo joins don't collapse.
+
+    Used only for benchmarking (FIXTURES.md §5); symbol mangling keeps the
+    per-repo call-resolution workload realistic (global-unique counts stay
+    per-repo-unique instead of exploding into hub symbols).
+    """
+    out: list[dict] = []
+    for i in range(copies):
+        for r in rows:
+            c = dict(r)
+            c["repo"] = f"{r['repo']}__r{i}"
+            out.append(c)
+    return out
+
+
+def with_skip_flags(df: DataFrame) -> DataFrame:
+    """Flag rows the parser must not touch (reference core.rs:298-364):
+    >500 KB -> skipped=too_large; unreadable/binary -> skipped=unreadable."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "skipped",
+        F.when(F.col("content").isNull(), F.lit("unreadable"))
+        .when(F.octet_length(F.col("content")) > MAX_FILE_SIZE, F.lit("too_large"))
+        .otherwise(F.lit(None).cast("string")),
+    )
