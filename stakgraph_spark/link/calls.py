@@ -83,13 +83,24 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
                   imports_map: DataFrame) -> DataFrame:
     """mentions: (repo,lang,src_type,src_name,src_file,src_start,called,operand)
     -> resolved (…, dst_file, dst_start, confidence, strategy)."""
-    fns = _fn_base(functions)
+    # the symbol-table base feeds ~6 aggregate views per cascade instance;
+    # checkpointing it keeps every downstream join plan shallow
+    fns = _fn_base(functions).localCheckpoint(eager=False)
 
     resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map)
+    resolved = resolved.localCheckpoint()
 
     # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
-    # object as a function via cascade 1-4 (format.rs:1208-1239).
+    # object as a function via cascade 1-4 (format.rs:1208-1239).  Only call
+    # mentions carry operands (handler mentions don't), so this naturally
+    # skips the handler path.  Gated on non-empty input: a second cascade is
+    # ~10 Spark stages we don't want for zero rows.
     unres = resolved.where(F.col("dst_file").isNull() & F.col("operand").isNotNull())
+    direct = (resolved.where(F.col("dst_file").isNotNull())
+              .withColumn("dst_name", F.col("called")))
+    if unres.isEmpty():
+        return direct
+
     base = (unres.drop("dst_file", "dst_start", "confidence", "strategy")
                  .withColumn("orig_called", F.col("called"))
                  .withColumn("called", F.col("operand"))
@@ -102,8 +113,6 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
               .withColumn("confidence", F.lit(0.35))
               .withColumn("strategy", F.lit("member_expr")))
 
-    direct = (resolved.where(F.col("dst_file").isNotNull())
-              .withColumn("dst_name", F.col("called")))
     return direct.unionByName(member, allowMissingColumns=True)
 
 

@@ -106,6 +106,59 @@ def resolve_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def resolve_operands(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(function, receiver-type-name) mentions -> Class -OPERAND-> Function.
+
+    Mirrors format_function's find_class callback (format.rs:720-736):
+    Class in the same file first, else first Class globally, else DataModel
+    same-file-then-global."""
+    def cand(t: str) -> DataFrame:
+        c = (_nodes_of(nodes, t)
+             .select(*KEY, "name", "file", "start", _skey(t).alias("skey")))
+        same = (c.groupBy(*KEY, "name", "file")
+                .agg(F.min_by("start", "skey").alias("start"))
+                .selectExpr("repo", "lang", "name as dst_name",
+                            "file as src_file", "start"))
+        glob = (c.groupBy(*KEY, "name")
+                .agg(F.min_by(F.struct("file", "start"), "skey").alias("g"))
+                .selectExpr("repo", "lang", "name as dst_name", "g.file as gfile",
+                            "g.start as gstart"))
+        return same, glob
+
+    c_same, c_glob = cand("Class")
+    d_same, d_glob = cand("DataModel")
+    m = (mentions
+         .join(c_same.withColumnRenamed("start", "c_s"), KEY + ["dst_name", "src_file"], "left")
+         .join(c_glob.withColumnRenamed("gfile", "c_gf").withColumnRenamed("gstart", "c_gs"),
+               KEY + ["dst_name"], "left")
+         .join(d_same.withColumnRenamed("start", "d_s"), KEY + ["dst_name", "src_file"], "left")
+         .join(d_glob.withColumnRenamed("gfile", "d_gf").withColumnRenamed("gstart", "d_gs"),
+               KEY + ["dst_name"], "left"))
+    pick = F.coalesce(
+        F.when(F.col("c_s").isNotNull(),
+               F.struct(F.lit("Class").alias("t"), F.col("src_file").alias("f"),
+                        F.col("c_s").alias("s"))),
+        F.when(F.col("c_gf").isNotNull(),
+               F.struct(F.lit("Class").alias("t"), F.col("c_gf").alias("f"),
+                        F.col("c_gs").alias("s"))),
+        F.when(F.col("d_s").isNotNull(),
+               F.struct(F.lit("DataModel").alias("t"), F.col("src_file").alias("f"),
+                        F.col("d_s").alias("s"))),
+        F.when(F.col("d_gf").isNotNull(),
+               F.struct(F.lit("DataModel").alias("t"), F.col("d_gf").alias("f"),
+                        F.col("d_gs").alias("s"))),
+    )
+    m = m.withColumn("picked", pick).where(F.col("picked").isNotNull())
+    return m.select(
+        *KEY,
+        F.lit("Operand").alias("edge_type"),
+        node_key_col(F.col("picked.t"), F.col("dst_name"), F.col("picked.f"),
+                     F.col("picked.s")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("dst_key"),
+    )
+
+
 def class_inherits(nodes: DataFrame) -> DataFrame:
     """meta.parent -> ParentOf(parent -> child) (btreemap_graph.rs:603-642)."""
     classes = (_nodes_of(nodes, "Class")

@@ -252,7 +252,26 @@ def build_graph(spark: SparkSession, source: DataFrame,
     instances = nodes.where(F.col("node_type") == "Instance")
     variables = nodes.where(F.col("node_type") == "Var")
 
-    resolved = resolve_calls(calls_m, functions, instances, variables, imports_map)
+    # handler linking for languages WITHOUT a custom handler_finder (go & co)
+    # goes through the same cascade as calls (format.rs:552-577 routes the
+    # default handler_finder through node_data_finder), so both mention kinds
+    # ride ONE cascade invocation — a second instance costs ~10 stages.
+    USE_HANDLER_FINDER = ["python", "ruby"]
+    handler_m = mention.where(F.col("m_kind") == "handler").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "src_verb", "dst_name")
+    hm_cascade = (handler_m.where(~F.col("lang").isin(USE_HANDLER_FINDER))
+                  .withColumn("called", F.col("dst_name"))
+                  .withColumn("operand", F.lit(None).cast("string"))
+                  .drop("dst_name"))
+    cascade_in = (calls_m.withColumn("mk", F.lit("call"))
+                  .withColumn("src_verb", F.lit(None).cast("string"))
+                  .unionByName(hm_cascade.withColumn("mk", F.lit("handler"))))
+
+    resolved_all = resolve_calls(cascade_in, functions, instances, variables,
+                                 imports_map)
+    resolved = resolved_all.where(F.col("mk") == "call")
+    hres = resolved_all.where(F.col("mk") == "handler")
     call_edges = resolved.select(
         "repo", "lang",
         F.lit("Calls").alias("edge_type"),
@@ -267,10 +286,30 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
     impl_edges = simple_link.resolve_implements(impl_m, nodes)
 
-    handler_m = mention.where(F.col("m_kind") == "handler").select(
-        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "src_verb", "dst_name")
-    handler_edges = simple_link.resolve_handlers(handler_m, nodes)
+    # custom-handler_finder languages (python: same file / django module
+    # paths, endpoint KEPT on miss); cascade languages got their Handler
+    # edges from `hres` above, and endpoints whose handler failed the
+    # cascade are DROPPED (format.rs:516-523 + default handler_finder)
+    handler_edges = simple_link.resolve_handlers(
+        handler_m.where(F.col("lang").isin(USE_HANDLER_FINDER)), nodes)
+    cascade_handler_edges = hres.select(
+        "repo", "lang",
+        F.lit("Handler").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start"), F.col("src_verb")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
+                     F.col("dst_start")).alias("dst_key"))
+    handler_edges = _norm_edges(handler_edges).unionByName(
+        _norm_edges(cascade_handler_edges))
+    resolved_eps = hres.select(
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start"), F.col("src_verb")).alias("node_key")
+    ).distinct()
+    all_cascade_eps = hm_cascade.select(
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start"), F.col("src_verb")).alias("node_key")
+    ).distinct()
+    dropped_endpoints = all_cascade_eps.join(resolved_eps, "node_key", "left_anti")
 
     ident_m = mention.where(F.col("m_kind") == "ident").select(
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
@@ -289,6 +328,10 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name", "dst_file")
     imp_edges = simple_link.import_edges(import_edge_m, nodes)
 
+    operand_m = mention.where(F.col("m_kind") == "operand_cls").select(
+        "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
+    operand_edges = simple_link.resolve_operands(operand_m, nodes)
+
     parent_edges = simple_link.class_inherits(nodes)
     of_edges = simple_link.instance_of(nodes)
     api_edges = api_link.link_requests_to_endpoints(nodes)
@@ -297,11 +340,15 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     edges = _norm_edges(direct_edges)
     for e in (file_contains, call_edges, impl_edges, handler_edges, var_edges,
-              dm_edges, imp_edges, parent_edges, of_edges, api_edges,
-              itest_edges, fp_edges):
+              dm_edges, imp_edges, operand_edges, parent_edges, of_edges,
+              api_edges, itest_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     edges = edges.localCheckpoint()  # truncate the 13-family union lineage
     stage("edges_linked")
+
+    # endpoints whose handler failed the cascade are dropped (go & co)
+    if dropped_endpoints is not None:
+        nodes = nodes.join(dropped_endpoints, "node_key", "left_anti")
 
     # ---------------- prune plane ----------------
     from .prune import prune_graph

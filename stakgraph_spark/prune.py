@@ -8,20 +8,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# per-language clean_graph directives (dispatch ast/src/builder/stages.rs:628-640)
+#   dedup:   remove <remove_type> when a <keep_type> with same (name,file) has
+#            OPERAND edges   (python.rs clean_graph)
+#   filter:  remove <parent_type> whose name never appears as any
+#            <child_type>'s meta[<key>]   (go.rs clean_graph "operand")
+CLEAN_DIRECTIVES: dict[str, list[tuple[str, ...]]] = {
+    "python": [("dedup", "DataModel", "Class")],
+    "go": [("filter", "Class", "Function", "operand")],
+    # react_ts clean_graph mirrors are added with the typescript extractor
+}
 
-def dedup_datamodels_vs_classes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Remove a DataModel when a Class with the same (name, file) has OPERAND
-    edges — the python clean_graph directive (btreemap_graph.rs:718-754)."""
+
+def dedup_datamodels_vs_classes(nodes: DataFrame, edges: DataFrame,
+                                lang: str, remove_t: str, keep_t: str) -> DataFrame:
+    """Remove a <remove_t> when a <keep_t> with the same (name, file) has
+    OPERAND edges (btreemap_graph.rs:718-754)."""
     operand_srcs = (edges.where(F.col("edge_type") == "Operand")
                     .select(F.col("src_key")).distinct())
-    classes_with_methods = (nodes.where(F.col("node_type") == "Class")
-                            .join(operand_srcs,
-                                  nodes["node_key"] == operand_srcs["src_key"], "leftsemi")
-                            .select("repo", "lang", "name", "file").distinct())
-    dms = nodes.where(F.col("node_type") == "DataModel")
-    dms_drop = dms.join(classes_with_methods, ["repo", "lang", "name", "file"],
-                        "leftsemi").select("node_key")
-    return nodes.join(dms_drop, "node_key", "left_anti")
+    keepers = (nodes.where((F.col("node_type") == keep_t) & (F.col("lang") == lang))
+               .join(operand_srcs,
+                     nodes["node_key"] == operand_srcs["src_key"], "leftsemi")
+               .select("repo", "lang", "name", "file").distinct())
+    dms = nodes.where((F.col("node_type") == remove_t) & (F.col("lang") == lang))
+    drop = dms.join(keepers, ["repo", "lang", "name", "file"],
+                    "leftsemi").select("node_key")
+    return nodes.join(drop, "node_key", "left_anti")
+
+
+def filter_parents_without_children(nodes: DataFrame, lang: str,
+                                    parent_t: str, child_t: str,
+                                    meta_key: str) -> DataFrame:
+    """Remove <parent_t> nodes whose name never appears as a <child_t>'s
+    meta[<meta_key>] (btreemap_graph.rs:664-706; name-only matching)."""
+    child_names = (nodes.where((F.col("node_type") == child_t)
+                               & (F.col("lang") == lang))
+                   .select("repo", "lang",
+                           F.element_at("meta", meta_key).alias("name"))
+                   .where(F.col("name").isNotNull()).distinct())
+    parents = nodes.where((F.col("node_type") == parent_t)
+                          & (F.col("lang") == lang))
+    drop = parents.join(child_names, ["repo", "lang", "name"],
+                        "left_anti").select("node_key")
+    return nodes.join(drop, "node_key", "left_anti")
 
 
 def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -87,13 +116,22 @@ def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     # edge dedup first (BTreeSet semantics, btreemap_graph.rs:51-55)
     edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"])
 
-    removed = prune_orphan_functions(nodes, edges)
+    # removal sets are tiny but their plans are deep — checkpoint each so the
+    # anti-joins below reuse materialized results instead of replaying the
+    # whole subplan per consumer
+    removed = prune_orphan_functions(nodes, edges).localCheckpoint()
     nodes = nodes.join(removed, "node_key", "left_anti")
     edges = (edges
              .join(removed.withColumnRenamed("node_key", "src_key"), "src_key", "left_anti")
              .join(removed.withColumnRenamed("node_key", "dst_key"), "dst_key", "left_anti"))
 
-    nodes = dedup_datamodels_vs_classes(nodes, edges)
+    for lang, directives in CLEAN_DIRECTIVES.items():
+        for d in directives:
+            if d[0] == "dedup":
+                nodes = dedup_datamodels_vs_classes(nodes, edges, lang, d[1], d[2])
+            elif d[0] == "filter":
+                nodes = filter_parents_without_children(nodes, lang, d[1], d[2], d[3])
+    nodes = nodes.localCheckpoint()
 
     # drop edges whose endpoints no longer exist (dangling after prunes);
     # Neo4j MERGE enforces this implicitly, the BTreeMap keeps edge+node sets
@@ -102,4 +140,4 @@ def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     edges = (edges
              .join(keys.withColumnRenamed("node_key", "src_key"), "src_key", "leftsemi")
              .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
-    return nodes, edges
+    return nodes, edges.localCheckpoint()
