@@ -328,6 +328,20 @@ def extract_go(path: str, content: str) -> Extraction:
         _scan_function_body(ex, src_ref, path, lines, clines, nclines,
                             f.start, f.end, is_test=is_test and f.recv is None)
 
+    # NESTED_IN by row-range containment (parse/collect.rs:733-778) — go
+    # nested funcs are rare (closures aren't function_declarations) but the
+    # pass keeps prune semantics aligned
+    plain = [f for f in funcs
+             if not (f.name.startswith(("Test", "Benchmark", "Example"))
+                     and f.recv is None)]
+    for child in plain:
+        for parent in plain:
+            if child is not parent and child.start > parent.start \
+                    and child.end < parent.end:
+                ex.edge("NestedIn",
+                        ("Function", child.name, path, child.start, None),
+                        ("Function", parent.name, path, parent.start, None))
+
     return ex
 
 

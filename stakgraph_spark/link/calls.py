@@ -80,14 +80,24 @@ def _pick_not_self(cnt: Column, c1: Column, c2: Column, self_in: Column) -> Colu
 
 def resolve_calls(mentions: DataFrame, functions: DataFrame,
                   instances: DataFrame, variables: DataFrame,
-                  imports_map: DataFrame) -> DataFrame:
-    """mentions: (repo,lang,src_type,src_name,src_file,src_start,called,operand)
-    -> resolved (…, dst_file, dst_start, confidence, strategy)."""
+                  imports_map: DataFrame,
+                  struct_fields: DataFrame | None = None) -> DataFrame:
+    """mentions: (repo,lang,src_type,src_name,src_file,src_start,called,operand
+    [,rcv_type,rcv_base,rcv_field,skipflag])
+    -> resolved (…, dst_file, dst_start, confidence, strategy).
+
+    rcv_* columns are the hybrid-registry receiver facts (strategy 0,
+    type_resolved, confidence 1.0 — fires BEFORE the skip list, so mentions
+    with skipflag=1 may ONLY resolve via the registry; format.rs:1080-1098)."""
+    for c in ("rcv_type", "rcv_base", "rcv_field", "skipflag"):
+        if c not in mentions.columns:
+            mentions = mentions.withColumn(c, F.lit(None).cast("string"))
     # the symbol-table base feeds ~6 aggregate views per cascade instance;
     # checkpointing it keeps every downstream join plan shallow
     fns = _fn_base(functions).localCheckpoint(eager=False)
 
-    resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map)
+    resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map,
+                               struct_fields)
     resolved = resolved.localCheckpoint()
 
     # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
@@ -105,7 +115,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
                  .withColumn("orig_called", F.col("called"))
                  .withColumn("called", F.col("operand"))
                  .withColumn("operand", F.lit(None).cast("string")))
-    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map)
+    base = base.withColumn("rcv_type", F.lit(None).cast("string")) \
+               .withColumn("rcv_base", F.lit(None).cast("string")) \
+               .withColumn("rcv_field", F.lit(None).cast("string")) \
+               .withColumn("skipflag", F.lit(None).cast("string"))
+    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map, None)
     member = (base_res.where(F.col("dst_file").isNotNull())
               .withColumn("dst_name", F.col("called"))   # the base object's name
               .withColumn("called", F.col("orig_called"))
@@ -117,8 +131,34 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
 
 
 def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
-                    variables: DataFrame, imports_map: DataFrame) -> DataFrame:
+                    variables: DataFrame, imports_map: DataFrame,
+                    struct_fields: DataFrame | None = None) -> DataFrame:
     m = mentions
+
+    # -- 0. type registry (rust/ts hybrid resolver): receiver type known ->
+    # method of that type (meta.operand == type); one field indirection via
+    # struct_fields (rust_registry struct-field lookup) ------------------
+    methods = (fns.where(F.col("m_operand").isNotNull())
+               .groupBy(*KEY, "name", "m_operand")
+               .agg(F.min_by(_cand(), "skey").alias("mc")))
+    m = (m.join(methods.withColumnRenamed("name", "called")
+                       .withColumnRenamed("m_operand", "rcv_type")
+                       .withColumnRenamed("mc", "r_reg_direct"),
+                KEY + ["called", "rcv_type"], "left"))
+    if struct_fields is not None:
+        sf = struct_fields.selectExpr("repo", "lang", "type as rcv_base",
+                                      "field as rcv_field", "ftype")
+        m = (m.join(sf, KEY + ["rcv_base", "rcv_field"], "left")
+              .join(methods.withColumnRenamed("name", "called")
+                           .withColumnRenamed("m_operand", "ftype")
+                           .withColumnRenamed("mc", "r_reg_field"),
+                    KEY + ["called", "ftype"], "left")
+              .drop("ftype"))
+    else:
+        m = m.withColumn("r_reg_field", F.lit(None).cast(
+            "struct<file:string,start:bigint>"))
+    m = (m.withColumn("r_registry", F.coalesce("r_reg_direct", "r_reg_field"))
+          .drop("r_reg_direct", "r_reg_field"))
 
     # -- 1. global_unique: one summary row per (repo,lang,name) ------------
     glob = _first2(fns, KEY + ["name"], F.col("nonempty"))
@@ -209,24 +249,29 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
           .withColumn("r_nested", F.when(F.col("var_exists"), F.col("r_nested")))
           .drop("var_exists", "operand_trim"))
 
-    # -- priority coalesce (first hit wins) --------------------------------
+    # -- priority coalesce (first hit wins); skip-listed mentions are only
+    # eligible for the registry (skip check runs after it, format.rs:1096) --
+    non_reg = F.col("skipflag").isNull()
     pick = F.coalesce(
-        F.when(F.col("r_global").isNotNull(),
+        F.when(F.col("r_registry").isNotNull(),
+               F.struct(F.col("r_registry").alias("c"), F.lit(1.0).alias("conf"),
+                        F.lit("type_resolved").alias("strat"))),
+        F.when(non_reg & F.col("r_global").isNotNull(),
                F.struct(F.col("r_global").alias("c"), F.lit(0.90).alias("conf"),
                         F.lit("global_unique").alias("strat"))),
-        F.when(F.col("r_same_file").isNotNull(),
+        F.when(non_reg & F.col("r_same_file").isNotNull(),
                F.struct(F.col("r_same_file").alias("c"), F.lit(0.85).alias("conf"),
                         F.lit("same_file").alias("strat"))),
-        F.when(F.col("r_import").isNotNull(),
+        F.when(non_reg & F.col("r_import").isNotNull(),
                F.struct(F.col("r_import").alias("c"), F.lit(0.80).alias("conf"),
                         F.lit("import").alias("strat"))),
-        F.when(F.col("r_same_dir").isNotNull(),
+        F.when(non_reg & F.col("r_same_dir").isNotNull(),
                F.struct(F.col("r_same_dir").alias("c"), F.lit(0.45).alias("conf"),
                         F.lit("same_dir").alias("strat"))),
-        F.when(F.col("r_operand").isNotNull(),
+        F.when(non_reg & F.col("r_operand").isNotNull(),
                F.struct(F.col("r_operand").alias("c"), F.lit(0.70).alias("conf"),
                         F.lit("operand").alias("strat"))),
-        F.when(F.col("r_nested").isNotNull(),
+        F.when(non_reg & F.col("r_nested").isNotNull(),
                F.struct(F.col("r_nested").alias("c"), F.lit(0.60).alias("conf"),
                         F.lit("nested_var").alias("strat"))),
     )
@@ -235,5 +280,5 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
              .withColumn("dst_start", F.col("picked.c.start"))
              .withColumn("confidence", F.col("picked.conf"))
              .withColumn("strategy", F.col("picked.strat"))
-             .drop("picked", "r_global", "r_same_file", "r_import", "r_same_dir",
-                   "r_operand", "r_nested"))
+             .drop("picked", "r_registry", "r_global", "r_same_file", "r_import",
+                   "r_same_dir", "r_operand", "r_nested"))

@@ -23,34 +23,50 @@ def _nodes_of(nodes: DataFrame, t: str) -> DataFrame:
     return nodes.where(F.col("node_type") == t)
 
 
+def _same_then_global(nodes: DataFrame, t: str, name_col: str,
+                      out_prefix: str) -> tuple[DataFrame, DataFrame]:
+    """Lookup tables for 'same-file first, then first-by-key global' node
+    resolution (the classes_by_file / global fallback pattern of
+    ast/src/builder/core.rs:521-582)."""
+    c = (_nodes_of(nodes, t)
+         .select(*KEY, "name", "file", "start", _skey(t).alias("skey")))
+    same = (c.groupBy(*KEY, "name", "file")
+            .agg(F.min_by("start", "skey").alias(f"{out_prefix}_s"))
+            .selectExpr("repo", "lang", f"name as {name_col}",
+                        "file as src_file", f"{out_prefix}_s"))
+    glob = (c.groupBy(*KEY, "name")
+            .agg(F.min_by(F.struct("file", "start"), "skey").alias(f"{out_prefix}_g"))
+            .selectExpr("repo", "lang", f"name as {name_col}", f"{out_prefix}_g"))
+    return same, glob
+
+
 def resolve_implements(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     """(class, trait-name) mentions -> Class -IMPLEMENTS-> Trait.
 
-    Same-file Trait first, then global first-by-key fallback
+    BOTH endpoints resolve same-file-first-then-global — the mention's
+    positional info is the impl site, not the definition
     (ast/src/builder/core.rs:521-582)."""
-    traits = (_nodes_of(nodes, "Trait")
-              .select(*KEY, "name", "file", "start", _skey("Trait").alias("skey")))
-    same_file = (traits.groupBy(*KEY, "name", "file")
-                 .agg(F.min_by("start", "skey").alias("t_start"))
-                 .selectExpr("repo", "lang", "name as dst_name",
-                             "file as src_file", "t_start"))
-    glob = (traits.groupBy(*KEY, "name")
-            .agg(F.min_by(F.struct("file", "start"), "skey").alias("g"))
-            .selectExpr("repo", "lang", "name as dst_name", "g"))
-    m = (mentions.withColumnRenamed("dst_name", "dst_name")
-         .join(same_file, KEY + ["dst_name", "src_file"], "left")
-         .join(glob, KEY + ["dst_name"], "left")
-         .withColumn("t_file", F.when(F.col("t_start").isNotNull(), F.col("src_file"))
-                                .otherwise(F.col("g.file")))
-         .withColumn("t_start2", F.coalesce(F.col("t_start"), F.col("g.start")))
-         .where(F.col("t_file").isNotNull()))
+    c_same, c_glob = _same_then_global(nodes, "Class", "src_name", "c")
+    t_same, t_glob = _same_then_global(nodes, "Trait", "dst_name", "t")
+    m = (mentions
+         .join(c_same, KEY + ["src_name", "src_file"], "left")
+         .join(c_glob, KEY + ["src_name"], "left")
+         .join(t_same, KEY + ["dst_name", "src_file"], "left")
+         .join(t_glob, KEY + ["dst_name"], "left")
+         .withColumn("c_file", F.when(F.col("c_s").isNotNull(), F.col("src_file"))
+                                .otherwise(F.col("c_g.file")))
+         .withColumn("c_start", F.coalesce(F.col("c_s"), F.col("c_g.start")))
+         .withColumn("t_file", F.when(F.col("t_s").isNotNull(), F.col("src_file"))
+                                .otherwise(F.col("t_g.file")))
+         .withColumn("t_start", F.coalesce(F.col("t_s"), F.col("t_g.start")))
+         .where(F.col("c_file").isNotNull() & F.col("t_file").isNotNull()))
     return m.select(
         *KEY,
         F.lit("Implements").alias("edge_type"),
-        node_key_col(F.lit("Class"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Class"), F.col("src_name"), F.col("c_file"),
+                     F.col("c_start")).alias("src_key"),
         node_key_col(F.lit("Trait"), F.col("dst_name"), F.col("t_file"),
-                     F.col("t_start2")).alias("dst_key"),
+                     F.col("t_start")).alias("dst_key"),
     )
 
 

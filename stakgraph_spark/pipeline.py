@@ -216,6 +216,16 @@ def build_graph(spark: SparkSession, source: DataFrame,
         .dropDuplicates(["repo", "lang", "name", "file", "verb"]).drop("verb")
     ex_nodes = ex_nodes.where(F.col("node_type") != "Endpoint").unionByName(eps)
 
+    mention = raw.where(F.col("rec") == "mention")
+    imports_map = mention.where(F.col("m_kind") == "import").select(
+        "repo", "lang", F.col("src_file").alias("file"),
+        F.col("dst_name").alias("name"), F.col("dst_file").alias("module"))
+
+    # endpoint-group prefix rewrite (rust scope/nest/mount/configure) BEFORE
+    # keys are computed — renames endpoints and their handler mentions
+    from .link.groups import apply_endpoint_groups
+    ex_nodes, mention = apply_endpoint_groups(ex_nodes, mention, imports_map)
+
     nodes = fp_nodes.unionByName(ex_nodes)
     nodes = _key(nodes)
     # BTreeMap insert = last-write-wins on canonical key; order-insensitive
@@ -240,13 +250,17 @@ def build_graph(spark: SparkSession, source: DataFrame,
     stage("direct_edges")
 
     # ---------------- linking plane ----------------
-    mention = raw.where(F.col("rec") == "mention")
     calls_m = mention.where(F.col("m_kind") == "call").select(
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        F.col("dst_name").alias("called"), "operand")
-    imports_map = mention.where(F.col("m_kind") == "import").select(
-        "repo", "lang", F.col("src_file").alias("file"),
-        F.col("dst_name").alias("name"), F.col("dst_file").alias("module"))
+        F.col("dst_name").alias("called"), "operand",
+        F.element_at("m_extra", "rcv_type").alias("rcv_type"),
+        F.element_at("m_extra", "rcv_base").alias("rcv_base"),
+        F.element_at("m_extra", "rcv_field").alias("rcv_field"),
+        F.element_at("m_extra", "skip").alias("skipflag"))
+    struct_fields = mention.where(F.col("m_kind") == "struct_field").select(
+        "repo", "lang", F.col("src_name").alias("type"),
+        F.col("dst_name").alias("field"),
+        F.element_at("m_extra", "ftype").alias("ftype"))
 
     functions = nodes.where(F.col("node_type") == "Function")
     instances = nodes.where(F.col("node_type") == "Instance")
@@ -266,10 +280,11 @@ def build_graph(spark: SparkSession, source: DataFrame,
                   .drop("dst_name"))
     cascade_in = (calls_m.withColumn("mk", F.lit("call"))
                   .withColumn("src_verb", F.lit(None).cast("string"))
-                  .unionByName(hm_cascade.withColumn("mk", F.lit("handler"))))
+                  .unionByName(hm_cascade.withColumn("mk", F.lit("handler")),
+                               allowMissingColumns=True))
 
     resolved_all = resolve_calls(cascade_in, functions, instances, variables,
-                                 imports_map)
+                                 imports_map, struct_fields)
     resolved = resolved_all.where(F.col("mk") == "call")
     hres = resolved_all.where(F.col("mk") == "handler")
     call_edges = resolved.select(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 CLEAN_DIRECTIVES: dict[str, list[tuple[str, ...]]] = {
     "python": [("dedup", "DataModel", "Class")],
     "go": [("filter", "Class", "Function", "operand")],
+    "rust": [("filter", "Class", "Function", "operand")],
     # react_ts clean_graph mirrors are added with the typescript extractor
 }
 
