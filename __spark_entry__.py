@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: per-language document stats over sf0.001 (exercises
+                scan -> transform -> aggregate through the engine's catalog).
+queries()     — one callable per implemented operator (stakgraph_spark.textops
+                catalog: canonical keys, sha256 invariant, exact/MinHash-LSH/
+                SimHash dedup, n-gram Jaccard, lang-ID/quality/token text
+                analysis, fingerprinting, brute-force ANN, and the relational
+                shapes the KG linking plane is built from).
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query.
+
+The KG-construction pipeline itself (stakgraph_spark.pipeline.build_graph) is
+verified separately by `python -m pytest tests/` against the reference's @ast
+fixture annotations (P/R >= 0.95 per BASELINE.md) — its input is a source-code
+table, which the driver's testdata views don't carry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from stakgraph_spark.textops.catalog import CATALOG
+
+    fn, _ = CATALOG["doc_stats"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from stakgraph_spark.textops.catalog import CATALOG
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from stakgraph_spark.textops.catalog import CATALOG
+
+    return {name: sql for name, (_fn, sql) in CATALOG.items()}

@@ -1,0 +1,159 @@
+"""Benchmark harness.
+
+Default mode — the driver's per-round benchmark:
+    python bench.py
+  * builds the full KG pipeline over a deterministic synthetic source table
+    (reference fixtures replicated across N repos, FIXTURES.md §5) and
+    measures end-to-end files/sec
+  * runs the catalog's headline queries at $SPARK_GRAFT_SF_DIR (default
+    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  * prints ONE JSON line {"metric", "value", "unit": "sec", "queries", "sf"}
+
+Scaling mode — the north rule's two-cluster-size evidence:
+    python bench.py --scaling
+  runs the identical KG build at local[8] and local[32] (subprocesses; one
+  JVM each) and writes BENCH/BASELINE.md with throughput at both levels and
+  efficiency = (rate32/rate8)/4 (target >= 0.8, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
+
+BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
+                 "quality_score", "ann_best_neighbor", "pricing_summary",
+                 "top_nation_revenue", "event_sessions"]
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("stakgraph-spark-bench")
+            .config("spark.driver.memory", "24g")
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def kg_build_files_sec(spark, copies: int) -> tuple[int, float, dict]:
+    """Build the graph over the replicated fixture corpus; -> (files, sec,
+    size stats)."""
+    from stakgraph_spark.pipeline import build_graph
+    from stakgraph_spark.source import (IMPLEMENTED_FIXTURES,
+                                        fixture_source_rows, replicate_rows)
+    from stakgraph_spark.schema import SOURCE_SCHEMA
+
+    rows = replicate_rows(fixture_source_rows(IMPLEMENTED_FIXTURES), copies)
+    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    t0 = time.time()
+    g = build_graph(spark, src)
+    nodes = g.nodes.count()
+    edges = g.edges.count()
+    dt = time.time() - t0
+    return len(rows), dt, {"nodes": nodes, "edges": edges,
+                           "stages": g.metrics}
+
+
+def run_default() -> dict:
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from stakgraph_spark.textops.catalog import CATALOG
+
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    files, dt, stats = kg_build_files_sec(spark, COPIES)
+    queries["kg_build"] = round(dt, 3)
+    total += dt
+
+    for name in BENCH_QUERIES:
+        fn, _ = CATALOG[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q = time.time() - t0
+        queries[name] = round(q, 3)
+        total += q
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "kg-pipeline+catalog wall time (kg_build over "
+                  f"{files} files => {round(files / dt, 1)} files/sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "files": files,
+        "files_per_sec": round(files / dt, 1),
+        "graph": {"nodes": stats["nodes"], "edges": stats["edges"]},
+    }
+
+
+def run_kg_only(cpus: int, copies: int) -> dict:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    files, dt, stats = kg_build_files_sec(spark, copies)
+    return {"cpus": cpus, "files": files, "sec": round(dt, 3),
+            "files_per_sec": round(files / dt, 2), **stats}
+
+
+def run_scaling(copies: int) -> None:
+    results = []
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--kg-only", str(cpus), str(copies)],
+            capture_output=True, text=True, timeout=3000)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Per BASELINE.json's north rule, scaling efficiency is evidenced in-sandbox by
+running the identical KG build job at two parallelism levels on the same
+input (a real multi-executor cluster is unavailable here).
+
+Input: deterministic synthetic source table — reference fixtures replicated
+across repos with per-copy repo mangling ({r8['files']} files, seed-free
+deterministic construction).
+
+| parallelism | files | wall sec | files/sec | nodes | edges |
+|---|---|---|---|---|---|
+| local[8]  (N)  | {r8['files']} | {r8['sec']} | {r8['files_per_sec']} | {r8['nodes']} | {r8['edges']} |
+| local[32] (4N) | {r32['files']} | {r32['sec']} | {r32['files_per_sec']} | {r32['nodes']} | {r32['edges']} |
+
+**Scaling efficiency = (rate_4N / rate_N) / 4 = {eff:.3f}** (target >= 0.8).
+
+Caveats: local mode shares one JVM; at 32 threads the fixed driver-side
+costs (Catalyst planning, job scheduling, checkpoint barriers) are NOT
+parallelized, so this under-states multi-executor scaling where planning is
+amortized across a long-running cluster. Per-stage timings:
+
+```json
+{json.dumps({'local8': r8['stages'], 'local32': r32['stages']}, indent=2)}
+```
+""")
+    print(json.dumps({"efficiency": round(eff, 3), "r8": r8, "r32": r32}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--kg-only":
+        print(json.dumps(run_kg_only(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+        run_scaling(copies)
+    else:
+        print(json.dumps(run_default()))

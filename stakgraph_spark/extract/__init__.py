@@ -32,7 +32,10 @@ def get_extractor(lang: str):
         from .rust_lang import extract_rust
         return extract_rust
     if lang in ("typescript", "react"):
-        from .ts_lang import make_ts_extractor
+        try:
+            from .ts_lang import make_ts_extractor
+        except ImportError:
+            return None
         return make_ts_extractor(lang)
     return None
 

@@ -115,13 +115,18 @@ def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     # edge dedup first (BTreeSet semantics, btreemap_graph.rs:51-55)
-    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"])
+    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"]) \
+                 .localCheckpoint()
 
-    # removal sets are tiny but their plans are deep — checkpoint each so the
-    # anti-joins below reuse materialized results instead of replaying the
-    # whole subplan per consumer
-    removed = prune_orphan_functions(nodes, edges).localCheckpoint()
-    nodes = nodes.join(removed, "node_key", "left_anti")
+    # All removal logic runs over a SLIM projection (no bodies): node rows
+    # carry full source text, and at bench scale repeatedly shuffling them
+    # through every anti-join dominated the wall clock.  The fat table is
+    # touched exactly once at the end.
+    slim = nodes.select("node_key", "node_type", "repo", "lang", "name",
+                        "file", "start", "end", "meta").localCheckpoint()
+
+    removed = prune_orphan_functions(slim, edges).localCheckpoint()
+    slim = slim.join(removed, "node_key", "left_anti")
     edges = (edges
              .join(removed.withColumnRenamed("node_key", "src_key"), "src_key", "left_anti")
              .join(removed.withColumnRenamed("node_key", "dst_key"), "dst_key", "left_anti"))
@@ -129,16 +134,17 @@ def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     for lang, directives in CLEAN_DIRECTIVES.items():
         for d in directives:
             if d[0] == "dedup":
-                nodes = dedup_datamodels_vs_classes(nodes, edges, lang, d[1], d[2])
+                slim = dedup_datamodels_vs_classes(slim, edges, lang, d[1], d[2])
             elif d[0] == "filter":
-                nodes = filter_parents_without_children(nodes, lang, d[1], d[2], d[3])
-    nodes = nodes.localCheckpoint()
+                slim = filter_parents_without_children(slim, lang, d[1], d[2], d[3])
+
+    keys = slim.select("node_key").localCheckpoint()
+    nodes = nodes.join(keys, "node_key", "leftsemi")
 
     # drop edges whose endpoints no longer exist (dangling after prunes);
     # Neo4j MERGE enforces this implicitly, the BTreeMap keeps edge+node sets
     # consistent via remove_node
-    keys = nodes.select("node_key")
     edges = (edges
              .join(keys.withColumnRenamed("node_key", "src_key"), "src_key", "leftsemi")
              .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
-    return nodes, edges.localCheckpoint()
+    return nodes.localCheckpoint(), edges.localCheckpoint()

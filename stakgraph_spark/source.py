@@ -79,6 +79,12 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
     return rows
 
 
+# languages with a working extractor today — the bench corpus draws from
+# these so files/sec counts only files that are actually parsed
+IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
+                        if v in ("python", "go", "rust")}
+
+
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:
     fixtures = fixtures or FIXTURES
     rows: list[dict] = []
@@ -107,6 +113,10 @@ def replicate_rows(rows: list[dict], copies: int) -> list[dict]:
         for r in rows:
             c = dict(r)
             c["repo"] = f"{r['repo']}__r{i}"
+            # paths must be mangled too: canonical node keys are
+            # (type,name,file,start) — identical paths across synthetic
+            # repos would collapse under dropDuplicates(node_key)
+            c["path"] = f"r{i}/{r['path']}"
             out.append(c)
     return out
 

@@ -1,0 +1,473 @@
+"""Driver-contract query catalog: paired (Spark DataFrame builder, DuckDB
+oracle SQL) per operator.
+
+These exercise the engine's reusable operator surface on the driver's
+testdata tables: canonical-key sanitization (SURVEY.md §1.2), sha256
+invariant, exact + MinHash-LSH + SimHash deduplication, n-gram Jaccard,
+language-ID / quality / token text analysis, document fingerprinting, ANN
+cosine search, and core relational shapes (agg / join / window) that the
+linking plane is built from.
+
+Contract: column names and value rounding must agree EXACTLY between the
+Spark query and the SQL oracle (the driver hashes values order-insensitively).
+Determinism rule: every float is rounded; every hash is md5/sha256 (identical
+across engines); no engine-specific hash() functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = "the|and|of|to|in|is|it|that|for|was|on|are|with|as|at|be|this"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# text / dedup operators over `documents`
+# --------------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("docs"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                 F.round(F.avg(F.size(F.split(F.col("text"), r"\s+"))), 2)
+                 .alias("avg_tokens")))
+
+
+SQL_DOC_STATS = """
+SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars,
+       round(avg(len(string_split_regex(text, '\\s+'))), 2) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_sha256(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+SQL_DOC_SHA256 = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+
+def q_canonical_key(spark, sf_dir):
+    """The reference's node-key sanitize/concat formula (ast/src/utils.rs:
+    82-136) applied to document identity."""
+    d = _docs(spark, sf_dir)
+    san = lambda c: F.regexp_replace(F.lower(c), "[^a-z0-9]", "")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", san(F.col("source")), san(F.col("lang")),
+                    F.col("doc_id").cast("string")).alias("node_key"))
+
+
+SQL_CANONICAL_KEY = """
+SELECT doc_id,
+       concat_ws('-', regexp_replace(lower(source), '[^a-z0-9]', '', 'g'),
+                 regexp_replace(lower(lang), '[^a-z0-9]', '', 'g'),
+                 CAST(doc_id AS VARCHAR)) AS node_key
+FROM documents
+"""
+
+
+def _norm_text(c):
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 over normalized text; emit duplicate groups."""
+    d = _docs(spark, sf_dir)
+    h = d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("h"))
+    return (h.groupBy("h")
+            .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_doc"))
+            .where(F.col("cnt") > 1))
+
+
+SQL_DEDUP_EXACT = """
+SELECT h, count(*) AS cnt, min(doc_id) AS keep_doc FROM (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents)
+GROUP BY h HAVING count(*) > 1
+"""
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Surviving-doc count per lang after exact dedup (keep min doc_id)."""
+    d = _docs(spark, sf_dir)
+    h = d.select("doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("h"))
+    kept = h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (h.join(kept, ["h", "doc_id"], "inner")
+            .groupBy("lang").agg(F.count("*").alias("kept")))
+
+
+SQL_DEDUP_KEEP_FIRST = """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents),
+kept AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY h)
+SELECT lang, count(*) AS kept FROM h JOIN kept USING (h, doc_id) GROUP BY lang
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0))
+        .alias("n_words"))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic."""
+    d = _docs(spark, sf_dir)
+    stops = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(rf"\b({STOPWORDS})\b"), 0))
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    ratio = F.round(stops / F.greatest(toks, F.lit(1)), 4)
+    return d.select("doc_id", ratio.alias("stop_ratio"),
+                    (ratio > 0.05).alias("looks_english"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, stop_ratio, stop_ratio > 0.05 AS looks_english FROM (
+  SELECT doc_id,
+         round(len(regexp_extract_all(lower(text), '\\b({STOPWORDS})\\b'))
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 4)
+         AS stop_ratio
+  FROM documents)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality heuristic (training-data filter)."""
+    d = _docs(spark, sf_dir)
+    n = F.greatest(F.length("text"), F.lit(1))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stops = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(rf"\b({STOPWORDS})\b"), 0))
+    toks = F.greatest(F.size(F.split(F.col("text"), r"\s+")), F.lit(1))
+    raw = (F.least(F.length("text") / F.lit(1000.0), F.lit(1.0)) * 0.4
+           + (1 - F.least(punct / n, F.lit(1.0))) * 0.3
+           + F.least(stops / toks * 5, F.lit(1.0)) * 0.3)
+    # floor-truncate instead of round: half-way cases round differently
+    # across engines (banker's vs half-up)
+    score = F.floor(raw * 10000) / 10000
+    return d.select("doc_id", score.alias("quality"))
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id, floor((
+  least(length(text) / 1000.0, 1.0) * 0.4
+  + (1 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+               / greatest(length(text), 1), 1.0)) * 0.3
+  + least(len(regexp_extract_all(lower(text), '\\b({STOPWORDS})\\b'))
+          / greatest(len(string_split_regex(text, '\\s+')), 1) * 5, 1.0) * 0.3
+) * 10000) / 10000 AS quality FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Prefix fingerprint + length bucket (cheap near-dup key)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.substring(norm, 1, 64)).alias("fp"),
+        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 64)) AS fp,
+       CAST(floor(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) / 100) AS BIGINT) AS len_bucket
+FROM documents
+"""
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+# 8 portable hash functions h_k(shingle) = md5(k || '|' || shingle); min per
+# doc; 2 bands of 4 -> band keys; candidate pairs share a band.
+
+def _shingles(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]))
+    sh = F.filter(sh, lambda s: ~s.contains("  ") & (F.size(F.split(s, " ")) == 3))
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")) \
+            .where(F.size(F.split(F.col("sh"), " ")) == 3)
+
+
+def q_minhash_bands(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("sh")))).alias(f"h{k}")
+          for k in range(8)])
+    return mins.select(
+        "doc_id",
+        F.md5(F.concat_ws("", "h0", "h1", "h2", "h3")).alias("band1"),
+        F.md5(F.concat_ws("", "h4", "h5", "h6", "h7")).alias("band2"))
+
+
+_SQL_SHINGLES = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '\\W+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+    FROM documents),
+  idx AS (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i
+    FROM toks WHERE len(t) >= 3),
+  sh AS (
+    SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS sh
+    FROM idx)
+"""
+
+SQL_MINHASH_BANDS = f"""
+{_SQL_SHINGLES},
+mins AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{k}' || '|' || sh)) AS h{k}" for k in range(8))}
+  FROM sh GROUP BY doc_id)
+SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band1,
+       md5(h4 || h5 || h6 || h7) AS band2
+FROM mins
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    b = q_minhash_bands(spark, sf_dir)
+    p1 = b.alias("a").join(b.alias("b"), F.col("a.band1") == F.col("b.band1")) \
+        .where(F.col("a.doc_id") < F.col("b.doc_id")) \
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    p2 = b.alias("a").join(b.alias("b"), F.col("a.band2") == F.col("b.band2")) \
+        .where(F.col("a.doc_id") < F.col("b.doc_id")) \
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    return p1.unionByName(p2).distinct()
+
+
+SQL_MINHASH_PAIRS = f"""
+{_SQL_SHINGLES},
+mins AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{k}' || '|' || sh)) AS h{k}" for k in range(8))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band1,
+         md5(h4 || h5 || h6 || h7) AS band2 FROM mins)
+SELECT DISTINCT a, b FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+    ON x.band1 = y.band1 WHERE x.doc_id < y.doc_id
+  UNION ALL
+  SELECT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+    ON x.band2 = y.band2 WHERE x.doc_id < y.doc_id)
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """8-bit SimHash: bit j set iff the majority of tokens' md5 hex digit j
+    falls in 0-7 (portable sign aggregation)."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id", F.explode(F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "), " "),
+        lambda t: t != "")).alias("tok"))
+        .withColumn("h", F.md5("tok")))
+    agg = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", j + 1, 1)
+                     .isin(*"01234567"), 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(8)])
+    bits = sum((F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)) for j in range(8))
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(regexp_replace(text, '\\W+', ' ', 'g')), ' '),
+    x -> x <> '')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+agg AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN substring(h, {j + 1}, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s{j}" for j in range(8))}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({' + '.join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(8))} AS BIGINT) AS simhash
+FROM agg
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-set Jaccard for candidate pairs sharing a length bucket + fp —
+    the verify stage after cheap near-dup candidate generation."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.array_distinct(F.filter(
+            F.split(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "), " "),
+            lambda t: t != "")).alias("w"),
+        F.floor(F.length(_norm_text(F.col("text"))) / 100).alias("len_bucket"))
+    j = (words.alias("a").join(words.alias("b"), "len_bucket")
+         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"),
+                 F.round(
+                     F.size(F.array_intersect("a.w", "b.w"))
+                     / F.greatest(F.size(F.array_union("a.w", "b.w")), F.lit(1)),
+                     4).alias("jaccard")))
+    return j.where(F.col("jaccard") >= 0.8)
+
+
+SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(regexp_replace(text, '\\W+', ' ', 'g')), ' '),
+           x -> x <> '')) AS w,
+         floor(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) / 100) AS len_bucket
+  FROM documents)
+SELECT a, b, jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(len(list_intersect(x.w, y.w))
+               / greatest(len(list_distinct(list_concat(x.w, y.w))), 1), 4) AS jaccard
+  FROM words x JOIN words y ON x.len_bucket = y.len_bucket
+  WHERE x.doc_id < y.doc_id)
+WHERE jaccard >= 0.8
+"""
+
+
+# ---- ANN over embeddings ---------------------------------------------------
+
+def q_ann_best_neighbor(spark, sf_dir):
+    """Brute-force cosine argmax for the first 20 query vectors — the
+    exactness baseline the LSH/IVF scale path is checked against."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    dot = F.aggregate(F.zip_with("qe", "embedding", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sims = (q.crossJoin(e).where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id",
+                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
+                    .alias("cos")))
+    return (sims.groupBy("qid")
+            .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
+                 F.round(F.max("cos"), 4).alias("best_cos")))
+
+
+SQL_ANN_BEST = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+sims AS (
+  SELECT qid, e.vec_id,
+         list_dot_product(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> qid)
+SELECT qid, arg_max(vec_id, cos) AS best_neighbor, round(max(cos), 4) AS best_cos
+FROM sims GROUP BY qid
+"""
+
+
+# ---- relational proof points (the shapes the linking plane is made of) ----
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_nation_revenue(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("orders")))
+
+
+SQL_TOP_NATION_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_sessions(spark, sf_dir):
+    """Windowed per-user event ordering — rank of each user's largest-value
+    event per type (window shape used by the cascade's first-pick logic)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type") \
+              .orderBy(F.col("value").desc(), F.col("event_id"))
+    return (e.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("user_id", "event_type", "event_id",
+                    F.round("value", 2).alias("value")))
+
+
+SQL_EVENT_SESSIONS = """
+SELECT user_id, event_type, event_id, round(value, 2) AS value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk = 1
+"""
+
+
+CATALOG: dict[str, tuple] = {
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
+    "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_best_neighbor": (q_ann_best_neighbor, SQL_ANN_BEST),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_nation_revenue": (q_top_nation_revenue, SQL_TOP_NATION_REVENUE),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+}
