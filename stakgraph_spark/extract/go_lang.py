@@ -86,8 +86,10 @@ def mask_sources(content: str) -> tuple[str, str]:
         if mode is None:
             if c == "/" and i + 1 < n and content[i + 1] == "/":
                 mode = "//"
+                nc[i] = co[i] = " "
             elif c == "/" and i + 1 < n and content[i + 1] == "*":
                 mode = "/*"
+                nc[i] = co[i] = " "
             elif c in ('"', "'", "`"):
                 mode = c
         elif mode == "//":

@@ -130,8 +130,10 @@ def mask_rust(content: str) -> str:
         if mode is None:
             if c == "/" and i + 1 < n and content[i + 1] == "/":
                 mode = "//"
+                out[i] = " "
             elif c == "/" and i + 1 < n and content[i + 1] == "*":
                 mode = "/*"
+                out[i] = " "
                 depth = 1
             elif c == '"':
                 # raw strings r"..." / r#"..."# treated as plain (good enough)

@@ -49,8 +49,10 @@ def _segments(c: Column) -> Column:
 def _paths_match(f_seg: Column, b_seg: Column) -> Column:
     """linker.rs:478-506 — equal length pre-joined; api-prefix agreement +
     per-segment equal-or-param."""
-    api_rule = ~(((F.element_at(f_seg, 1) == "api") | (F.element_at(b_seg, 1) == "api"))
-                 & (F.element_at(f_seg, 1) != F.element_at(b_seg, 1)))
+    f0 = F.get(f_seg, 0)   # null-safe: root paths have no segments
+    b0 = F.get(b_seg, 0)
+    api_rule = ~(((f0 == "api") | (b0 == "api"))
+                 & ~(f0.eqNullSafe(b0)))
     segs_ok = F.aggregate(
         F.zip_with(f_seg, b_seg,
                    lambda a, b: (a == b) | a.startswith(":") | b.startswith(":")),
@@ -97,6 +99,27 @@ _VERB_PATTERNS = [
     r"(?i)method\s*:\s*[\"']?(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)[\"']?",
     r"(?i)type\s*:\s*[\"']?(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)[\"']?",
 ]
+
+
+def link_e2e_tests_pages(nodes: DataFrame) -> DataFrame:
+    """E2eTest body contains Page name (case-insensitive) -> Calls edge
+    (linker.rs:213-237)."""
+    tests = (nodes.where(F.col("node_type") == "E2eTest")
+             .select("repo", "lang", "name", "file", "start",
+                     F.lower(F.coalesce("body", F.lit(""))).alias("body_lc")))
+    pages = (nodes.where(F.col("node_type") == "Page")
+             .select("repo", F.col("name").alias("p_name"),
+                     F.col("file").alias("p_file"), F.col("start").alias("p_start")))
+    j = (tests.join(F.broadcast(pages), KEY, "inner")
+         .where(F.instr(F.col("body_lc"), F.lower(F.col("p_name"))) > 0))
+    return j.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.lit("E2eTest"), F.col("name"), F.col("file"),
+                     F.col("start")).alias("src_key"),
+        node_key_col(F.lit("Page"), F.col("p_name"), F.col("p_file"),
+                     F.col("p_start")).alias("dst_key"),
+    )
 
 
 def link_integration_tests(nodes: DataFrame) -> DataFrame:

@@ -157,8 +157,25 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
     else:
         m = m.withColumn("r_reg_field", F.lit(None).cast(
             "struct<file:string,start:bigint>"))
-    m = (m.withColumn("r_registry", F.coalesce("r_reg_direct", "r_reg_field"))
-          .drop("r_reg_direct", "r_reg_field"))
+    # imported-object receivers (the ts registry's import tracking:
+    # `import {analytics} from m; analytics.track()` -> track() in m's file);
+    # fires before the skip list like the rest of strategy 0
+    imp_reg = imports_map.select(
+        "repo", "lang", F.col("file").alias("src_file"),
+        F.col("name").alias("operand"),
+        F.regexp_replace("module", r"^(\.\./)+", "").alias("module"))
+    imp_op = (m.select(*KEY, "src_file", "operand", "called").distinct()
+              .where(F.col("operand").isNotNull())
+              .join(imp_reg, KEY + ["src_file", "operand"], "inner")
+              .join(fns.withColumnRenamed("name", "called"), KEY + ["called"], "inner")
+              .where(F.col("nonempty") & (F.length("module") > 0)
+                     & F.col("file").contains(F.col("module")))
+              .groupBy(*KEY, "src_file", "operand", "called")
+              .agg(F.min_by(_cand(), "skey").alias("r_reg_imp")))
+    m = m.join(imp_op, KEY + ["src_file", "operand", "called"], "left")
+    m = (m.withColumn("r_registry",
+                      F.coalesce("r_reg_direct", "r_reg_field", "r_reg_imp"))
+          .drop("r_reg_direct", "r_reg_field", "r_reg_imp"))
 
     # -- 1. global_unique: one summary row per (repo,lang,name) ------------
     glob = _first2(fns, KEY + ["name"], F.col("nonempty"))

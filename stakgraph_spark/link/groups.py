@@ -52,9 +52,36 @@ def endpoint_prefixes(mention: DataFrame, eps: DataFrame,
              .where(~F.col("name").startswith(F.col("prefix")))
              .drop("module"))
 
+    # (d) express app.use("/prefix", routerVar) (react_ts.rs:1458-1516):
+    # same-file endpoints whose meta.object == routerVar and whose path has
+    # no '/:' segment; else import-resolve routerVar -> endpoints in files
+    # containing the module path
+    use_g = (mention.where(F.col("m_kind") == "ep_group_use")
+             .select(*KEY, F.col("src_file").alias("gfile"),
+                     F.col("dst_name").alias("router_var"),
+                     F.element_at("m_extra", "prefix").alias("prefix")))
+    eps_full = eps.select(*KEY, "name", "file", "start",
+                          F.element_at("meta", "verb").alias("verb"),
+                          F.element_at("meta", "object").alias("object"))
+    m_use_same = (eps_full.join(
+        use_g.selectExpr("repo", "lang", "gfile as file",
+                         "router_var as object", "prefix"),
+        KEY + ["file", "object"], "inner")
+        .where(~F.col("name").contains("/:"))
+        .where(~F.col("name").startswith(F.col("prefix"))))
+    use_imp = use_g.join(
+        imports_map.selectExpr("repo", "lang", "file as gfile",
+                               "name as router_var", "module"),
+        KEY + ["gfile", "router_var"], "inner")
+    m_use_imp = (eps_full.join(use_imp.select(*KEY, "module", "prefix"), KEY, "inner")
+                 .where(F.instr(F.col("file"), F.col("module")) > 0)
+                 .where(~F.col("name").startswith(F.col("prefix"))))
+
     allm = (m_same.select(*KEY, "name", "file", "start", "verb", "prefix")
             .unionByName(m_rocket.select(*KEY, "name", "file", "start", "verb", "prefix"))
-            .unionByName(m_imp.select(*KEY, "name", "file", "start", "verb", "prefix")))
+            .unionByName(m_imp.select(*KEY, "name", "file", "start", "verb", "prefix"))
+            .unionByName(m_use_same.select(*KEY, "name", "file", "start", "verb", "prefix"))
+            .unionByName(m_use_imp.select(*KEY, "name", "file", "start", "verb", "prefix")))
     w = Window.partitionBy(*KEY, "name", "file", "start", "verb") \
               .orderBy(F.length("prefix").desc(), F.col("prefix"))
     return (allm.withColumn("rn", F.row_number().over(w))

@@ -175,6 +175,70 @@ def resolve_operands(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def resolve_verb_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Next.js verb-style handlers: Endpoint meta.handler is an HTTP verb;
+    the handler function is the same-file function whose name matches the
+    verb case-insensitively (react_ts.rs:965-976)."""
+    fns = (_nodes_of(nodes, "Function")
+           .select(*KEY, "name", "file", "start", _skey("Function").alias("skey"))
+           .withColumn("uname", F.upper("name")))
+    byfile = (fns.groupBy(*KEY, "uname", "file")
+              .agg(F.min_by(F.struct("name", "start"), "skey").alias("f"))
+              .selectExpr("repo", "lang", "uname", "file as src_file", "f"))
+    m = (mentions.withColumn("uname", F.upper("dst_name"))
+         .join(byfile, KEY + ["uname", "src_file"], "inner"))
+    return m.select(
+        *KEY,
+        F.lit("Handler").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start"), F.col("src_verb")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("f.name"), F.col("src_file"),
+                     F.col("f.start")).alias("dst_key"),
+    )
+
+
+def resolve_class_new(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """`new X()` -> Calls edge to the Class when exactly one Class of that
+    name exists (format.rs:1040-1046 class_call)."""
+    classes = (_nodes_of(nodes, "Class")
+               .select(*KEY, "name", "file", "start", _skey("Class").alias("skey")))
+    uniq = (classes.groupBy(*KEY, "name")
+            .agg(F.count("*").alias("cnt"),
+                 F.min_by(F.struct("file", "start"), "skey").alias("c"))
+            .where(F.col("cnt") == 1)
+            .selectExpr("repo", "lang", "name as dst_name", "c"))
+    return (mentions.join(uniq, KEY + ["dst_name"], "inner")
+            .select(
+                *KEY,
+                F.lit("Calls").alias("edge_type"),
+                node_key_col(F.col("src_type"), F.col("src_name"),
+                             F.col("src_file"), F.col("src_start")).alias("src_key"),
+                node_key_col(F.lit("Class"), F.col("dst_name"), F.col("c.file"),
+                             F.col("c.start")).alias("dst_key"),
+            ))
+
+
+def resolve_renders(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Page -> component function RENDERS edges: same-file first, then
+    first-by-key global (extra_page_finder / page stage)."""
+    f_same, f_glob = _same_then_global(nodes, "Function", "dst_name", "f")
+    m = (mentions
+         .join(f_same, KEY + ["dst_name", "src_file"], "left")
+         .join(f_glob, KEY + ["dst_name"], "left")
+         .withColumn("t_file", F.when(F.col("f_s").isNotNull(), F.col("src_file"))
+                                .otherwise(F.col("f_g.file")))
+         .withColumn("t_start", F.coalesce(F.col("f_s"), F.col("f_g.start")))
+         .where(F.col("t_file").isNotNull()))
+    return m.select(
+        *KEY,
+        F.lit("Renders").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("t_file"),
+                     F.col("t_start")).alias("dst_key"),
+    )
+
+
 def class_inherits(nodes: DataFrame) -> DataFrame:
     """meta.parent -> ParentOf(parent -> child) (btreemap_graph.rs:603-642)."""
     classes = (_nodes_of(nodes, "Class")

@@ -250,7 +250,9 @@ def build_graph(spark: SparkSession, source: DataFrame,
     stage("direct_edges")
 
     # ---------------- linking plane ----------------
-    calls_m = mention.where(F.col("m_kind") == "call").select(
+    calls_m = mention.where(
+        (F.col("m_kind") == "call")
+        & F.element_at("m_extra", "class_new").isNull()).select(
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
         F.col("dst_name").alias("called"), "operand",
         F.element_at("m_extra", "rcv_type").alias("rcv_type"),
@@ -271,9 +273,17 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # default handler_finder through node_data_finder), so both mention kinds
     # ride ONE cascade invocation — a second instance costs ~10 stages.
     USE_HANDLER_FINDER = ["python", "ruby"]
+    # ts/react: handler goes through the cascade but a miss KEEPS the
+    # endpoint (react_ts handler_finder returns (endpoint, None));
+    # Next.js verb-style handlers resolve same-file case-insensitively
+    KEEP_ON_MISS = ["typescript", "react"]
     handler_m = mention.where(F.col("m_kind") == "handler").select(
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "src_verb", "dst_name")
+        "src_verb", "dst_name",
+        F.element_at("m_extra", "verb_style").alias("verb_style"))
+    verb_handler_edges = simple_link.resolve_verb_handlers(
+        handler_m.where(F.col("verb_style") == "1"), nodes)
+    handler_m = handler_m.where(F.col("verb_style").isNull()).drop("verb_style")
     hm_cascade = (handler_m.where(~F.col("lang").isin(USE_HANDLER_FINDER))
                   .withColumn("called", F.col("dst_name"))
                   .withColumn("operand", F.lit(None).cast("string"))
@@ -320,7 +330,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
         node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
                      F.col("src_start"), F.col("src_verb")).alias("node_key")
     ).distinct()
-    all_cascade_eps = hm_cascade.select(
+    all_cascade_eps = hm_cascade.where(~F.col("lang").isin(KEEP_ON_MISS)).select(
         node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
                      F.col("src_start"), F.col("src_verb")).alias("node_key")
     ).distinct()
@@ -347,16 +357,29 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
     operand_edges = simple_link.resolve_operands(operand_m, nodes)
 
+    class_new_m = (mention.where((F.col("m_kind") == "call")
+                                 & (F.element_at("m_extra", "class_new") == "1"))
+                   .select("repo", "lang", "src_type", "src_name", "src_file",
+                           "src_start", "dst_name"))
+    class_new_edges = simple_link.resolve_class_new(class_new_m, nodes)
+
+    renders_m = mention.where(F.col("m_kind") == "renders").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "dst_name")
+    renders_edges = simple_link.resolve_renders(renders_m, nodes)
+
     parent_edges = simple_link.class_inherits(nodes)
     of_edges = simple_link.instance_of(nodes)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
+    e2e_edges = api_link.link_e2e_tests_pages(nodes)
     stage("linking_declared")
 
     edges = _norm_edges(direct_edges)
-    for e in (file_contains, call_edges, impl_edges, handler_edges, var_edges,
-              dm_edges, imp_edges, operand_edges, parent_edges, of_edges,
-              api_edges, itest_edges, fp_edges):
+    for e in (file_contains, call_edges, impl_edges, handler_edges,
+              verb_handler_edges, var_edges, dm_edges, imp_edges,
+              operand_edges, class_new_edges, renders_edges, parent_edges,
+              of_edges, api_edges, itest_edges, e2e_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     edges = edges.localCheckpoint()  # truncate the 13-family union lineage
     stage("edges_linked")
