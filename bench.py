@@ -47,23 +47,36 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def kg_build_files_sec(spark, copies: int) -> tuple[int, float, dict]:
-    """Build the graph over the replicated fixture corpus; -> (files, sec,
-    size stats)."""
-    from stakgraph_spark.pipeline import build_graph
+def stage_corpus(spark, copies: int) -> tuple[str, int]:
+    """Materialize the synthetic source table to parquet ONCE (untimed) —
+    the pipeline's contract input is a table, and driver-side
+    createDataFrame serialization must not pollute the measurement."""
     from stakgraph_spark.source import (IMPLEMENTED_FIXTURES,
                                         fixture_source_rows, replicate_rows)
     from stakgraph_spark.schema import SOURCE_SCHEMA
 
+    path = f"/tmp/kg_bench_corpus_c{copies}"
     rows = replicate_rows(fixture_source_rows(IMPLEMENTED_FIXTURES), copies)
-    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    if not os.path.exists(path + "/_SUCCESS"):
+        (spark.createDataFrame(rows, SOURCE_SCHEMA)
+         .repartition(64).write.mode("overwrite").parquet(path))
+    return path, len(rows)
+
+
+def kg_build_files_sec(spark, copies: int) -> tuple[int, float, dict]:
+    """Build the graph over the replicated fixture corpus; -> (files, sec,
+    size stats)."""
+    from stakgraph_spark.pipeline import build_graph
+
+    path, n_files = stage_corpus(spark, copies)
+    src = spark.read.parquet(path)
     t0 = time.time()
     g = build_graph(spark, src)
     nodes = g.nodes.count()
     edges = g.edges.count()
     dt = time.time() - t0
-    return len(rows), dt, {"nodes": nodes, "edges": edges,
-                           "stages": g.metrics}
+    return n_files, dt, {"nodes": nodes, "edges": edges,
+                         "stages": g.metrics}
 
 
 def run_default() -> dict:

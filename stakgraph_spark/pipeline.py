@@ -182,7 +182,11 @@ def file_plane(src: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def build_graph(spark: SparkSession, source: DataFrame,
-                shuffle_partitions: int | None = None) -> GraphResult:
+                raw: DataFrame | None = None) -> GraphResult:
+    """source (repo,path,commit,lang,content) -> GraphResult.
+
+    `raw` may be a pre-materialized extraction stream (the resumable runner
+    persists it per (repo, lang) partition and re-feeds it on restart)."""
     metrics: list[dict] = []
     t0 = time.time()
 
@@ -202,7 +206,8 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # planning time was the bottleneck, not data) and avoids re-running the
     # UDF per consumer.  On a cluster this becomes a checkpoint to the
     # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
-    raw = extract_raw(src.where(F.col("skipped").isNull())).localCheckpoint()
+    if raw is None:
+        raw = extract_raw(src.where(F.col("skipped").isNull())).localCheckpoint()
 
     ex_nodes = raw.where(F.col("rec") == "node").select(
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
