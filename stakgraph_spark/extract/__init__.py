@@ -66,7 +66,8 @@ def extraction_to_rows(ex: Extraction, repo: str, lang: str) -> list[dict]:
             "src_type": st, "src_name": sn, "src_file": sf, "src_start": ss,
             "src_verb": sv, "dst_name": m.target, "dst_file": m.dst_file,
             "dst_start": m.row, "operand": m.operand,
-            "m_extra": m.extra or None, "repo": repo, "lang": lang,
+            "m_extra": m.extra or None, "names": m.names,
+            "repo": repo, "lang": lang,
         })
     return rows
 

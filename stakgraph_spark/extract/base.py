@@ -17,8 +17,8 @@ M_CALL = "call"              # call site: called name + optional operand
 M_IMPORT = "import"          # from <module> import <name>  (import map entry)
 M_IMPLEMENTS = "implements"  # (class, trait-candidate-name)
 M_HANDLER = "handler"        # endpoint -> handler name
-M_IDENT = "ident"            # identifier used inside a function (Var linking)
-M_DM_WITHIN = "dm_within"    # capitalized name used inside a function (DataModel linking)
+M_IDENT = "ident_set"        # identifiers used inside a function (Var linking)
+M_DM_WITHIN = "dm_set"       # capitalized names used in a function (DataModel linking)
 M_IMPORT_EDGE = "import_edge"  # File -> imported symbol (IMPORTS edges)
 
 
@@ -57,6 +57,7 @@ class Mention:
     dst_file: str | None = None   # file hint (import resolved path, etc.)
     row: int | None = None        # source row of the reference
     extra: dict[str, str] = field(default_factory=dict)
+    names: list[str] | None = None  # set-valued mentions (ident_set/dm_set)
 
 
 @dataclass

@@ -325,10 +325,10 @@ def extract_python(path: str, content: str) -> Extraction:
                             dm_names.add(a.id)
                     if not should_skip_call(called, operand):
                         ex.mention(M_CALL, src_ref, called, operand=operand, row=_r(n))
-        for ident in sorted(idents):
-            ex.mention(M_IDENT, src_ref, ident)
-        for dm in sorted(dm_names):
-            ex.mention(M_DM_WITHIN, src_ref, dm)
+        if idents:
+            ex.mention(M_IDENT, src_ref, "", names=sorted(idents))
+        if dm_names:
+            ex.mention(M_DM_WITHIN, src_ref, "", names=sorted(dm_names))
 
     # ---------------- endpoints ------------------------------------------
     def emit_endpoint(name: str, verb: str | None, handler: str | None,

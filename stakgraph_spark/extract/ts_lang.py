@@ -800,10 +800,10 @@ def _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, s, e, in_test=False
             idents.add(m.group(0))
         for m in _TYPEID_RE.finditer(cl):
             dm_names.add(m.group(1))
-    for ident in sorted(idents):
-        ex.mention(M_IDENT, src_ref, ident)
-    for dm in sorted(dm_names):
-        ex.mention(M_DM_WITHIN, src_ref, dm)
+    if idents:
+        ex.mention(M_IDENT, src_ref, "", names=sorted(idents))
+    if dm_names:
+        ex.mention(M_DM_WITHIN, src_ref, "", names=sorted(dm_names))
 
 
 def _scan_endpoints(ex, path, lines, mlines, nclines, funcs):

@@ -341,18 +341,29 @@ def build_graph(spark: SparkSession, source: DataFrame,
     ).distinct()
     dropped_endpoints = all_cascade_eps.join(resolved_eps, "node_key", "left_anti")
 
-    ident_m = mention.where(F.col("m_kind") == "ident").select(
-        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "dst_name")
+    # set-valued mentions: intersect the per-function identifier array with
+    # the (small) per-(repo,lang) symbol-name set FIRST, explode after — a
+    # per-identifier row stream was the dominant shuffle volume at scale
+    def explode_set(kind: str, symbol_type: str) -> DataFrame:
+        name_sets = (nodes.where(F.col("node_type") == symbol_type)
+                     .groupBy("repo", "lang")
+                     .agg(F.collect_set("name").alias("sym_names")))
+        sets = mention.where(F.col("m_kind") == kind).select(
+            "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+            "names")
+        return (sets.join(name_sets, ["repo", "lang"], "inner")
+                .select("repo", "lang", "src_type", "src_name", "src_file",
+                        "src_start",
+                        F.explode(F.array_intersect("names", "sym_names"))
+                        .alias("dst_name")))
+
     import_bodies = (nodes.where(F.col("node_type") == "Import")
                      .select("repo", "lang", F.col("file").alias("src_file"),
                              F.col("body").alias("import_body")))
-    var_edges = simple_link.function_contains_vars(ident_m, nodes, import_bodies)
-
-    dm_m = mention.where(F.col("m_kind") == "dm_within").select(
-        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "dst_name")
-    dm_edges = simple_link.function_contains_datamodels(dm_m, nodes)
+    var_edges = simple_link.function_contains_vars(
+        explode_set("ident_set", "Var"), nodes, import_bodies)
+    dm_edges = simple_link.function_contains_datamodels(
+        explode_set("dm_set", "DataModel"), nodes)
 
     import_edge_m = mention.where(F.col("m_kind") == "import_edge").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name", "dst_file")

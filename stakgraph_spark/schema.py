@@ -9,6 +9,7 @@ struct (ast/src/lang/graphs/mod.rs:70-78) becomes `graph_edges`, whose
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     MapType,
@@ -62,6 +63,11 @@ RAW_SCHEMA = StructType([
     StructField("operand", STR, True),
     StructField("m_kind", STR, True),          # mention kind: call | import | ...
     StructField("m_extra", META, True),
+    # set-valued mentions (ident_set / dm_set): one row per function with the
+    # distinct identifiers — exploding 100M single-ident rows through the
+    # shuffle was the scaling bottleneck; arrays defer the explode until
+    # after intersection with the (small) symbol-name sets
+    StructField("names", ArrayType(STR), True),
     # -- partition carry-through
     StructField("repo", STR, True),
     StructField("lang", STR, True),
