@@ -255,7 +255,9 @@ FROM mins
 
 
 def q_minhash_pairs(spark, sf_dir):
-    b = q_minhash_bands(spark, sf_dir)
+    # materialize the bands once: both band self-joins reuse them (the
+    # shingle explode is the expensive part)
+    b = q_minhash_bands(spark, sf_dir).localCheckpoint()
     p1 = b.alias("a").join(b.alias("b"), F.col("a.band1") == F.col("b.band1")) \
         .where(F.col("a.doc_id") < F.col("b.doc_id")) \
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
