@@ -29,7 +29,7 @@ the canonical node_key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..keys import node_key_col, sanitize_col
@@ -56,18 +56,31 @@ def _cand(extra: list[str] | None = None) -> Column:
     return F.struct(*[F.col(c) for c in cols])
 
 
+def _top2(col_when: Column) -> Column:
+    """First-two candidates in node-key order as a 2-slice of the sorted
+    candidate array.  Single-pass groupBy aggregate — replaces the round-1
+    window (row_number + count) implementation, which cost two shuffle/sort
+    passes per lookup table.  collect_list materializes one group's
+    candidates in memory, the same bound the window partition had."""
+    return F.slice(F.array_sort(F.collect_list(col_when)), 1, 2)
+
+
 def _first2(df: DataFrame, group: list[str], flt: Column) -> DataFrame:
     """cnt + first two candidates in node-key order per group (enough to
     implement 'unique after excluding self')."""
-    w = Window.partitionBy(*group).orderBy("skey")
-    d = (df.where(flt)
-           .withColumn("rn", F.row_number().over(w))
-           .withColumn("cnt", F.count("*").over(Window.partitionBy(*group))))
-    firsts = (d.where(F.col("rn") <= 2)
-                .groupBy(*group)
-                .agg(F.max("cnt").alias("cnt"),
-                     F.min_by(_cand(), "skey").alias("c1"),
-                     F.max_by(_cand(), F.when(F.col("rn") <= 2, F.col("skey"))).alias("c2")))
+    d = df.where(flt)
+    cand = F.struct("skey", "file", "start")
+    firsts = (d.groupBy(*group)
+                .agg(F.count("*").alias("cnt"), _top2(cand).alias("top2"))
+                .withColumn("c1", F.when(
+                    F.size("top2") > 0,
+                    F.struct(F.get("top2", 0)["file"].alias("file"),
+                             F.get("top2", 0)["start"].alias("start"))))
+                .withColumn("c2", F.when(
+                    F.size("top2") > 1,
+                    F.struct(F.get("top2", 1)["file"].alias("file"),
+                             F.get("top2", 1)["start"].alias("start"))))
+                .drop("top2"))
     return firsts
 
 
@@ -119,7 +132,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
                .withColumn("rcv_base", F.lit(None).cast("string")) \
                .withColumn("rcv_field", F.lit(None).cast("string")) \
                .withColumn("skipflag", F.lit(None).cast("string"))
-    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map, None)
+    # lean=True skips strategies 0/5/6 plan-side: the base rows carry null
+    # operand + rcv_*, so those equi-joins can never match — semantics are
+    # identical, but ~6 joins of plan (and their codegen stages) are saved
+    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map,
+                               None, lean=True)
     member = (base_res.where(F.col("dst_file").isNotNull())
               .withColumn("dst_name", F.col("called"))   # the base object's name
               .withColumn("called", F.col("orig_called"))
@@ -132,58 +149,77 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
 
 def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                     variables: DataFrame, imports_map: DataFrame,
-                    struct_fields: DataFrame | None = None) -> DataFrame:
+                    struct_fields: DataFrame | None = None,
+                    lean: bool = False) -> DataFrame:
     m = mentions
+    _null_cand = F.lit(None).cast("struct<file:string,start:bigint>")
 
-    # -- 0. type registry (rust/ts hybrid resolver): receiver type known ->
-    # method of that type (meta.operand == type); one field indirection via
-    # struct_fields (rust_registry struct-field lookup) ------------------
-    methods = (fns.where(F.col("m_operand").isNotNull())
-               .groupBy(*KEY, "name", "m_operand")
-               .agg(F.min_by(_cand(), "skey").alias("mc")))
-    m = (m.join(methods.withColumnRenamed("name", "called")
-                       .withColumnRenamed("m_operand", "rcv_type")
-                       .withColumnRenamed("mc", "r_reg_direct"),
-                KEY + ["called", "rcv_type"], "left"))
-    if struct_fields is not None:
-        sf = struct_fields.selectExpr("repo", "lang", "type as rcv_base",
-                                      "field as rcv_field", "ftype")
-        m = (m.join(sf, KEY + ["rcv_base", "rcv_field"], "left")
-              .join(methods.withColumnRenamed("name", "called")
-                           .withColumnRenamed("m_operand", "ftype")
-                           .withColumnRenamed("mc", "r_reg_field"),
-                    KEY + ["called", "ftype"], "left")
-              .drop("ftype"))
+    if lean:
+        m = m.withColumn("r_registry", _null_cand)
     else:
-        m = m.withColumn("r_reg_field", F.lit(None).cast(
-            "struct<file:string,start:bigint>"))
-    # imported-object receivers (the ts registry's import tracking:
-    # `import {analytics} from m; analytics.track()` -> track() in m's file);
-    # fires before the skip list like the rest of strategy 0
-    imp_reg = imports_map.select(
-        "repo", "lang", F.col("file").alias("src_file"),
-        F.col("name").alias("operand"),
-        F.regexp_replace("module", r"^(\.\./)+", "").alias("module"))
-    imp_op = (m.select(*KEY, "src_file", "operand", "called").distinct()
-              .where(F.col("operand").isNotNull())
-              .join(imp_reg, KEY + ["src_file", "operand"], "inner")
-              .join(fns.withColumnRenamed("name", "called"), KEY + ["called"], "inner")
-              .where(F.col("nonempty") & (F.length("module") > 0)
-                     & F.col("file").contains(F.col("module")))
-              .groupBy(*KEY, "src_file", "operand", "called")
-              .agg(F.min_by(_cand(), "skey").alias("r_reg_imp")))
-    m = m.join(imp_op, KEY + ["src_file", "operand", "called"], "left")
-    m = (m.withColumn("r_registry",
-                      F.coalesce("r_reg_direct", "r_reg_field", "r_reg_imp"))
-          .drop("r_reg_direct", "r_reg_field", "r_reg_imp"))
+        # -- 0. type registry (rust/ts hybrid resolver): receiver type known
+        # -> method of that type (meta.operand == type); one field
+        # indirection via struct_fields (rust_registry struct-field lookup) --
+        methods = (fns.where(F.col("m_operand").isNotNull())
+                   .groupBy(*KEY, "name", "m_operand")
+                   .agg(F.min_by(_cand(), "skey").alias("mc")))
+        m = (m.join(methods.withColumnRenamed("name", "called")
+                           .withColumnRenamed("m_operand", "rcv_type")
+                           .withColumnRenamed("mc", "r_reg_direct"),
+                    KEY + ["called", "rcv_type"], "left"))
+        if struct_fields is not None:
+            sf = struct_fields.selectExpr("repo", "lang", "type as rcv_base",
+                                          "field as rcv_field", "ftype")
+            m = (m.join(sf, KEY + ["rcv_base", "rcv_field"], "left")
+                  .join(methods.withColumnRenamed("name", "called")
+                               .withColumnRenamed("m_operand", "ftype")
+                               .withColumnRenamed("mc", "r_reg_field"),
+                        KEY + ["called", "ftype"], "left")
+                  .drop("ftype"))
+        else:
+            m = m.withColumn("r_reg_field", _null_cand)
+        # imported-object receivers (the ts registry's import tracking:
+        # `import {analytics} from m; analytics.track()` -> track() in m's
+        # file); fires before the skip list like the rest of strategy 0
+        imp_reg = imports_map.select(
+            "repo", "lang", F.col("file").alias("src_file"),
+            F.col("name").alias("operand"),
+            F.regexp_replace("module", r"^(\.\./)+", "").alias("module"))
+        imp_op = (m.select(*KEY, "src_file", "operand", "called").distinct()
+                  .where(F.col("operand").isNotNull())
+                  .join(imp_reg, KEY + ["src_file", "operand"], "inner")
+                  .join(fns.withColumnRenamed("name", "called"), KEY + ["called"], "inner")
+                  .where(F.col("nonempty") & (F.length("module") > 0)
+                         & F.col("file").contains(F.col("module")))
+                  .groupBy(*KEY, "src_file", "operand", "called")
+                  .agg(F.min_by(_cand(), "skey").alias("r_reg_imp")))
+        m = m.join(imp_op, KEY + ["src_file", "operand", "called"], "left")
+        m = (m.withColumn("r_registry",
+                          F.coalesce("r_reg_direct", "r_reg_field", "r_reg_imp"))
+              .drop("r_reg_direct", "r_reg_field", "r_reg_imp"))
 
-    # -- 1. global_unique: one summary row per (repo,lang,name) ------------
-    glob = _first2(fns, KEY + ["name"], F.col("nonempty"))
-    glob_nm = _first2(fns, KEY + ["name"], F.col("nonempty") & ~F.col("is_mock"))
-    glob = (glob.alias("g")
-            .join(glob_nm.selectExpr("repo", "lang", "name",
-                                     "cnt as nm_cnt", "c1 as nm_c1", "c2 as nm_c2"),
-                  KEY + ["name"], "left"))
+    # -- 1. global_unique: one summary row per (repo,lang,name); the all-
+    # candidates view and the non-mock view come out of ONE aggregation pass
+    # (round 1 ran two window+groupBy chains and joined them) ---------------
+    def _unpack(src: str, a: str, b: str):
+        return [
+            F.when(F.size(src) > 0,
+                   F.struct(F.get(src, 0)["file"].alias("file"),
+                            F.get(src, 0)["start"].alias("start"))).alias(a),
+            F.when(F.size(src) > 1,
+                   F.struct(F.get(src, 1)["file"].alias("file"),
+                            F.get(src, 1)["start"].alias("start"))).alias(b),
+        ]
+
+    cand = F.struct("skey", "file", "start")
+    glob = (fns.where(F.col("nonempty"))
+            .groupBy(*KEY, "name")
+            .agg(F.count("*").alias("cnt"), _top2(cand).alias("t_all"),
+                 F.count(F.when(~F.col("is_mock"), F.lit(1))).alias("nm_cnt"),
+                 _top2(F.when(~F.col("is_mock"), cand)).alias("t_nm"))
+            .select(*KEY, "name", "cnt", "nm_cnt",
+                    *_unpack("t_all", "c1", "c2"),
+                    *_unpack("t_nm", "nm_c1", "nm_c2")))
 
     m = m.join(glob.withColumnRenamed("name", "called"), KEY + ["called"], "left")
     self_in = (F.col("src_type") == "Function") & (F.col("called") == F.col("src_name"))
@@ -233,38 +269,41 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                       _pick_not_self(F.col("cnt"), F.col("c1"), F.col("c2"), self_in_dir))
           .drop("cnt", "c1", "c2", "dir"))
 
-    # -- 5. operand: Instance -> class -> method (call_finder.rs:288-310) --
-    inst = (instances.where(F.col("data_type").isNotNull())
-            .groupBy(*KEY, "name")
-            .agg(F.min_by("data_type", node_key_col(F.lit("Instance"), F.col("name"),
-                                                    F.col("file"), F.col("start")))
-                 .alias("data_type"))
-            .selectExpr("repo", "lang", "name as operand", "data_type"))
-    by_operand = (fns.where(F.col("m_operand").isNotNull())
-                  .groupBy(*KEY, "name", "m_operand")
-                  .agg(F.min_by(_cand(), "skey").alias("r_operand")))
-    m = (m.join(F.broadcast(inst), KEY + ["operand"], "left")
-          .join(by_operand.withColumnRenamed("name", "called")
-                          .withColumnRenamed("m_operand", "data_type"),
-                KEY + ["called", "data_type"], "left")
-          .drop("data_type"))
+    if lean:
+        m = m.withColumn("r_operand", _null_cand).withColumn("r_nested", _null_cand)
+    else:
+        # -- 5. operand: Instance -> class -> method (call_finder.rs:288-310)
+        inst = (instances.where(F.col("data_type").isNotNull())
+                .groupBy(*KEY, "name")
+                .agg(F.min_by("data_type", node_key_col(F.lit("Instance"), F.col("name"),
+                                                        F.col("file"), F.col("start")))
+                     .alias("data_type"))
+                .selectExpr("repo", "lang", "name as operand", "data_type"))
+        by_operand = (fns.where(F.col("m_operand").isNotNull())
+                      .groupBy(*KEY, "name", "m_operand")
+                      .agg(F.min_by(_cand(), "skey").alias("r_operand")))
+        m = (m.join(F.broadcast(inst), KEY + ["operand"], "left")
+              .join(by_operand.withColumnRenamed("name", "called")
+                              .withColumnRenamed("m_operand", "data_type"),
+                    KEY + ["called", "data_type"], "left")
+              .drop("data_type"))
 
-    # -- 6. nested_var: Var operand -> Function meta.nested_in == operand --
-    var_names = (variables.select(*KEY, F.col("name").alias("operand")).distinct()
-                 .withColumn("var_exists", F.lit(True)))
-    trim_q = "^[\"'`]|[\"'`]$"
-    by_nested = (fns.where(F.col("m_nested_in").isNotNull())
-                 .withColumn("nested_in", F.regexp_replace("m_nested_in", trim_q, ""))
-                 .groupBy(*KEY, "name", "nested_in")
-                 .agg(F.min_by(_cand(), "skey").alias("r_nested")))
-    m = (m.join(F.broadcast(var_names), KEY + ["operand"], "left")
-          .withColumn("operand_trim",
-                      F.regexp_replace(F.coalesce("operand", F.lit("")), trim_q, ""))
-          .join(by_nested.withColumnRenamed("name", "called")
-                         .withColumnRenamed("nested_in", "operand_trim"),
-                KEY + ["called", "operand_trim"], "left")
-          .withColumn("r_nested", F.when(F.col("var_exists"), F.col("r_nested")))
-          .drop("var_exists", "operand_trim"))
+        # -- 6. nested_var: Var operand -> Function meta.nested_in == operand
+        var_names = (variables.select(*KEY, F.col("name").alias("operand")).distinct()
+                     .withColumn("var_exists", F.lit(True)))
+        trim_q = "^[\"'`]|[\"'`]$"
+        by_nested = (fns.where(F.col("m_nested_in").isNotNull())
+                     .withColumn("nested_in", F.regexp_replace("m_nested_in", trim_q, ""))
+                     .groupBy(*KEY, "name", "nested_in")
+                     .agg(F.min_by(_cand(), "skey").alias("r_nested")))
+        m = (m.join(F.broadcast(var_names), KEY + ["operand"], "left")
+              .withColumn("operand_trim",
+                          F.regexp_replace(F.coalesce("operand", F.lit("")), trim_q, ""))
+              .join(by_nested.withColumnRenamed("name", "called")
+                             .withColumnRenamed("nested_in", "operand_trim"),
+                    KEY + ["called", "operand_trim"], "left")
+              .withColumn("r_nested", F.when(F.col("var_exists"), F.col("r_nested")))
+              .drop("var_exists", "operand_trim"))
 
     # -- priority coalesce (first hit wins); skip-listed mentions are only
     # eligible for the registry (skip check runs after it, format.rs:1096) --

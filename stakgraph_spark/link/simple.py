@@ -3,16 +3,28 @@ Function-CONTAINS-Var, Function-CONTAINS-DataModel, File-IMPORTS-symbol.
 
 Each mirrors a reference lookup loop as an equi-join + deterministic
 first-pick (min_by over canonical node key = BTreeMap iteration order).
+
+Scale design (round 2): seven edge families (implements, operands, renders,
+class_new, parent_of, instance_of, dm-contains) resolve against ONE shared
+symbol table — `build_symtab` aggregates Function/Class/Trait/DataModel
+definitions once into a row per (repo, lang, name) carrying, per node type,
+the global first-by-key candidate, the definition count, and a
+file -> first-start map for the same-file preference.  Round 1 built ~12
+per-family groupBy lookup tables; at fixture scale their Catalyst planning
+and codegen dominated the link plane's wall time (fixed cost, thread-
+independent), and at 100 TB they are 12 shuffles where 3 suffice.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..keys import node_key_col
 
 KEY = ["repo", "lang"]
+
+SYMTYPES = ["Function", "Class", "Trait", "DataModel"]
 
 
 def _skey(node_type: str):
@@ -23,50 +35,74 @@ def _nodes_of(nodes: DataFrame, t: str) -> DataFrame:
     return nodes.where(F.col("node_type") == t)
 
 
-def _same_then_global(nodes: DataFrame, t: str, name_col: str,
-                      out_prefix: str) -> tuple[DataFrame, DataFrame]:
-    """Lookup tables for 'same-file first, then first-by-key global' node
-    resolution (the classes_by_file / global fallback pattern of
-    ast/src/builder/core.rs:521-582)."""
-    c = (_nodes_of(nodes, t)
-         .select(*KEY, "name", "file", "start", _skey(t).alias("skey")))
-    same = (c.groupBy(*KEY, "name", "file")
-            .agg(F.min_by("start", "skey").alias(f"{out_prefix}_s"))
-            .selectExpr("repo", "lang", f"name as {name_col}",
-                        "file as src_file", f"{out_prefix}_s"))
-    glob = (c.groupBy(*KEY, "name")
-            .agg(F.min_by(F.struct("file", "start"), "skey").alias(f"{out_prefix}_g"))
-            .selectExpr("repo", "lang", f"name as {name_col}", f"{out_prefix}_g"))
-    return same, glob
+def build_symtab(nodes: DataFrame) -> DataFrame:
+    """(repo, lang, name) -> per-type resolution summaries `t_<Type>`:
+    struct(glob: struct(file,start)   first candidate in node-key order,
+           cnt:  long                 total definitions of that name,
+           fmap: map(file -> start)   per-file first candidate).
+
+    Feeds every 'same-file first, then first-by-key global' lookup (the
+    classes_by_file / global fallback pattern of
+    ast/src/builder/core.rs:521-582).  The fmap is bounded by the number of
+    files defining one name in one (repo, lang) — the same bound the
+    reference's per-name BTreeMap scan has."""
+    c = (nodes.where(F.col("node_type").isin(SYMTYPES))
+         .select(*KEY, "node_type", "name", "file", "start",
+                 node_key_col(F.col("node_type"), F.col("name"), F.col("file"),
+                              F.col("start")).alias("skey")))
+    per_file = (c.groupBy(*KEY, "node_type", "name", "file")
+                .agg(F.min_by("start", "skey").alias("f_start"),
+                     F.min("skey").alias("skey_min"),
+                     F.count("*").alias("cnt")))
+    per_type = (per_file.groupBy(*KEY, "node_type", "name")
+                .agg(F.min_by(F.struct(F.col("file"),
+                                       F.col("f_start").alias("start")),
+                              "skey_min").alias("glob"),
+                     F.sum("cnt").alias("cnt"),
+                     F.map_from_entries(
+                         F.collect_list(F.struct("file", "f_start"))).alias("fmap")))
+    return (per_type.groupBy(*KEY, "name")
+            .agg(*[F.first(F.when(F.col("node_type") == t,
+                                  F.struct("glob", "cnt", "fmap")),
+                           ignorenulls=True).alias(f"t_{t}")
+                   for t in SYMTYPES]))
 
 
-def resolve_implements(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+def _sym(symtab: DataFrame, t: str, name_col: str, out: str) -> DataFrame:
+    return symtab.select(*KEY, F.col("name").alias(name_col),
+                         F.col(f"t_{t}").alias(out))
+
+
+def _same_then_global(entry: Column, src_file: Column) -> Column:
+    """struct(file,start) pick: same-file first candidate if the symbol is
+    defined in src_file, else the global first-by-key candidate; NULL when
+    the symbol doesn't exist as that type."""
+    same_start = F.element_at(entry["fmap"], src_file)
+    return F.when(entry.isNull(), F.lit(None).cast("struct<file:string,start:bigint>")) \
+            .when(same_start.isNotNull(),
+                  F.struct(src_file.alias("file"), same_start.alias("start"))) \
+            .otherwise(entry["glob"])
+
+
+def resolve_implements(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """(class, trait-name) mentions -> Class -IMPLEMENTS-> Trait.
 
     BOTH endpoints resolve same-file-first-then-global — the mention's
     positional info is the impl site, not the definition
     (ast/src/builder/core.rs:521-582)."""
-    c_same, c_glob = _same_then_global(nodes, "Class", "src_name", "c")
-    t_same, t_glob = _same_then_global(nodes, "Trait", "dst_name", "t")
     m = (mentions
-         .join(c_same, KEY + ["src_name", "src_file"], "left")
-         .join(c_glob, KEY + ["src_name"], "left")
-         .join(t_same, KEY + ["dst_name", "src_file"], "left")
-         .join(t_glob, KEY + ["dst_name"], "left")
-         .withColumn("c_file", F.when(F.col("c_s").isNotNull(), F.col("src_file"))
-                                .otherwise(F.col("c_g.file")))
-         .withColumn("c_start", F.coalesce(F.col("c_s"), F.col("c_g.start")))
-         .withColumn("t_file", F.when(F.col("t_s").isNotNull(), F.col("src_file"))
-                                .otherwise(F.col("t_g.file")))
-         .withColumn("t_start", F.coalesce(F.col("t_s"), F.col("t_g.start")))
-         .where(F.col("c_file").isNotNull() & F.col("t_file").isNotNull()))
+         .join(_sym(symtab, "Class", "src_name", "C"), KEY + ["src_name"], "left")
+         .join(_sym(symtab, "Trait", "dst_name", "T"), KEY + ["dst_name"], "left")
+         .withColumn("c", _same_then_global(F.col("C"), F.col("src_file")))
+         .withColumn("t", _same_then_global(F.col("T"), F.col("src_file")))
+         .where(F.col("c").isNotNull() & F.col("t").isNotNull()))
     return m.select(
         *KEY,
         F.lit("Implements").alias("edge_type"),
-        node_key_col(F.lit("Class"), F.col("src_name"), F.col("c_file"),
-                     F.col("c_start")).alias("src_key"),
-        node_key_col(F.lit("Trait"), F.col("dst_name"), F.col("t_file"),
-                     F.col("t_start")).alias("dst_key"),
+        node_key_col(F.lit("Class"), F.col("src_name"), F.col("c.file"),
+                     F.col("c.start")).alias("src_key"),
+        node_key_col(F.lit("Trait"), F.col("dst_name"), F.col("t.file"),
+                     F.col("t.start")).alias("dst_key"),
     )
 
 
@@ -122,47 +158,21 @@ def resolve_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def resolve_operands(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+def resolve_operands(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """(function, receiver-type-name) mentions -> Class -OPERAND-> Function.
 
     Mirrors format_function's find_class callback (format.rs:720-736):
     Class in the same file first, else first Class globally, else DataModel
-    same-file-then-global."""
-    def cand(t: str) -> DataFrame:
-        c = (_nodes_of(nodes, t)
-             .select(*KEY, "name", "file", "start", _skey(t).alias("skey")))
-        same = (c.groupBy(*KEY, "name", "file")
-                .agg(F.min_by("start", "skey").alias("start"))
-                .selectExpr("repo", "lang", "name as dst_name",
-                            "file as src_file", "start"))
-        glob = (c.groupBy(*KEY, "name")
-                .agg(F.min_by(F.struct("file", "start"), "skey").alias("g"))
-                .selectExpr("repo", "lang", "name as dst_name", "g.file as gfile",
-                            "g.start as gstart"))
-        return same, glob
-
-    c_same, c_glob = cand("Class")
-    d_same, d_glob = cand("DataModel")
-    m = (mentions
-         .join(c_same.withColumnRenamed("start", "c_s"), KEY + ["dst_name", "src_file"], "left")
-         .join(c_glob.withColumnRenamed("gfile", "c_gf").withColumnRenamed("gstart", "c_gs"),
-               KEY + ["dst_name"], "left")
-         .join(d_same.withColumnRenamed("start", "d_s"), KEY + ["dst_name", "src_file"], "left")
-         .join(d_glob.withColumnRenamed("gfile", "d_gf").withColumnRenamed("gstart", "d_gs"),
-               KEY + ["dst_name"], "left"))
+    same-file-then-global.  One symtab join serves both type probes."""
+    m = mentions.join(symtab.withColumnRenamed("name", "dst_name"),
+                      KEY + ["dst_name"], "left")
+    c = _same_then_global(F.col("t_Class"), F.col("src_file"))
+    d = _same_then_global(F.col("t_DataModel"), F.col("src_file"))
     pick = F.coalesce(
-        F.when(F.col("c_s").isNotNull(),
-               F.struct(F.lit("Class").alias("t"), F.col("src_file").alias("f"),
-                        F.col("c_s").alias("s"))),
-        F.when(F.col("c_gf").isNotNull(),
-               F.struct(F.lit("Class").alias("t"), F.col("c_gf").alias("f"),
-                        F.col("c_gs").alias("s"))),
-        F.when(F.col("d_s").isNotNull(),
-               F.struct(F.lit("DataModel").alias("t"), F.col("src_file").alias("f"),
-                        F.col("d_s").alias("s"))),
-        F.when(F.col("d_gf").isNotNull(),
-               F.struct(F.lit("DataModel").alias("t"), F.col("d_gf").alias("f"),
-                        F.col("d_gs").alias("s"))),
+        F.when(c.isNotNull(), F.struct(F.lit("Class").alias("t"),
+                                       c["file"].alias("f"), c["start"].alias("s"))),
+        F.when(d.isNotNull(), F.struct(F.lit("DataModel").alias("t"),
+                                       d["file"].alias("f"), d["start"].alias("s"))),
     )
     m = m.withColumn("picked", pick).where(F.col("picked").isNotNull())
     return m.select(
@@ -197,16 +207,12 @@ def resolve_verb_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def resolve_class_new(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+def resolve_class_new(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """`new X()` -> Calls edge to the Class when exactly one Class of that
     name exists (format.rs:1040-1046 class_call)."""
-    classes = (_nodes_of(nodes, "Class")
-               .select(*KEY, "name", "file", "start", _skey("Class").alias("skey")))
-    uniq = (classes.groupBy(*KEY, "name")
-            .agg(F.count("*").alias("cnt"),
-                 F.min_by(F.struct("file", "start"), "skey").alias("c"))
-            .where(F.col("cnt") == 1)
-            .selectExpr("repo", "lang", "name as dst_name", "c"))
+    uniq = (symtab.where(F.col("t_Class.cnt") == 1)
+            .select(*KEY, F.col("name").alias("dst_name"),
+                    F.col("t_Class.glob").alias("c")))
     return (mentions.join(uniq, KEY + ["dst_name"], "inner")
             .select(
                 *KEY,
@@ -218,36 +224,31 @@ def resolve_class_new(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
             ))
 
 
-def resolve_renders(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+def resolve_renders(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """Page -> component function RENDERS edges: same-file first, then
     first-by-key global (extra_page_finder / page stage)."""
-    f_same, f_glob = _same_then_global(nodes, "Function", "dst_name", "f")
     m = (mentions
-         .join(f_same, KEY + ["dst_name", "src_file"], "left")
-         .join(f_glob, KEY + ["dst_name"], "left")
-         .withColumn("t_file", F.when(F.col("f_s").isNotNull(), F.col("src_file"))
-                                .otherwise(F.col("f_g.file")))
-         .withColumn("t_start", F.coalesce(F.col("f_s"), F.col("f_g.start")))
-         .where(F.col("t_file").isNotNull()))
+         .join(_sym(symtab, "Function", "dst_name", "FN"), KEY + ["dst_name"], "left")
+         .withColumn("t", _same_then_global(F.col("FN"), F.col("src_file")))
+         .where(F.col("t").isNotNull()))
     return m.select(
         *KEY,
         F.lit("Renders").alias("edge_type"),
         node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
                      F.col("src_start")).alias("src_key"),
-        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("t_file"),
-                     F.col("t_start")).alias("dst_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("t.file"),
+                     F.col("t.start")).alias("dst_key"),
     )
 
 
-def class_inherits(nodes: DataFrame) -> DataFrame:
+def class_inherits(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
     """meta.parent -> ParentOf(parent -> child) (btreemap_graph.rs:603-642)."""
     classes = (_nodes_of(nodes, "Class")
                .select(*KEY, "name", "file", "start",
-                       F.element_at("meta", "parent").alias("parent"),
-                       _skey("Class").alias("skey")))
-    parents = (classes.groupBy(*KEY, "name")
-               .agg(F.min_by(F.struct("file", "start"), "skey").alias("p"))
-               .selectExpr("repo", "lang", "name as parent", "p"))
+                       F.element_at("meta", "parent").alias("parent")))
+    parents = (symtab.where(F.col("t_Class").isNotNull())
+               .select(*KEY, F.col("name").alias("parent"),
+                       F.col("t_Class.glob").alias("p")))
     return (classes.where(F.col("parent").isNotNull())
             .join(parents, KEY + ["parent"], "inner")
             .select(
@@ -260,14 +261,12 @@ def class_inherits(nodes: DataFrame) -> DataFrame:
             ))
 
 
-def instance_of(nodes: DataFrame) -> DataFrame:
+def instance_of(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
     """Instance.data_type -> Class -> OF edge, only when the class exists
     (btreemap_graph.rs:238-255)."""
-    classes = (_nodes_of(nodes, "Class")
-               .select(*KEY, "name", "file", "start", _skey("Class").alias("skey")))
-    by_name = (classes.groupBy(*KEY, "name")
-               .agg(F.min_by(F.struct("file", "start"), "skey").alias("c"))
-               .selectExpr("repo", "lang", "name as data_type", "c"))
+    by_name = (symtab.where(F.col("t_Class").isNotNull())
+               .select(*KEY, F.col("name").alias("data_type"),
+                       F.col("t_Class.glob").alias("c")))
     inst = _nodes_of(nodes, "Instance").where(F.col("data_type").isNotNull())
     return (inst.join(by_name, KEY + ["data_type"], "inner")
             .select(
@@ -308,14 +307,12 @@ def function_contains_vars(ident_mentions: DataFrame, nodes: DataFrame,
     )
 
 
-def function_contains_datamodels(dm_mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+def function_contains_datamodels(dm_mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """Capitalized names used in a function -> Function -CONTAINS-> DataModel
     (first DataModel of that name anywhere, format.rs:764-793)."""
-    dms = (_nodes_of(nodes, "DataModel")
-           .select(*KEY, "name", "file", "start", _skey("DataModel").alias("skey")))
-    first_dm = (dms.groupBy(*KEY, "name")
-                .agg(F.min_by(F.struct("file", "start"), "skey").alias("d"))
-                .selectExpr("repo", "lang", "name as dst_name", "d"))
+    first_dm = (symtab.where(F.col("t_DataModel").isNotNull())
+                .select(*KEY, F.col("name").alias("dst_name"),
+                        F.col("t_DataModel.glob").alias("d")))
     return (dm_mentions.join(first_dm, KEY + ["dst_name"], "inner")
             .select(
                 *KEY,

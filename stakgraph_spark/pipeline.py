@@ -312,9 +312,15 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "operand", "confidence", "strategy")
     stage("calls_resolved")
 
+    # ONE shared symbol table feeds the seven same-file-then-global edge
+    # families below (3 aggregation stages instead of ~12 per-family ones);
+    # lazily checkpointed so the union job computes it once and every family
+    # reads the truncated plan
+    symtab = simple_link.build_symtab(nodes).localCheckpoint(eager=False)
+
     impl_m = mention.where(F.col("m_kind") == "implements").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
-    impl_edges = simple_link.resolve_implements(impl_m, nodes)
+    impl_edges = simple_link.resolve_implements(impl_m, symtab)
 
     # custom-handler_finder languages (python: same file / django module
     # paths, endpoint KEPT on miss); cascade languages got their Handler
@@ -363,7 +369,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     var_edges = simple_link.function_contains_vars(
         explode_set("ident_set", "Var"), nodes, import_bodies)
     dm_edges = simple_link.function_contains_datamodels(
-        explode_set("dm_set", "DataModel"), nodes)
+        explode_set("dm_set", "DataModel"), symtab)
 
     import_edge_m = mention.where(F.col("m_kind") == "import_edge").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name", "dst_file")
@@ -371,21 +377,21 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     operand_m = mention.where(F.col("m_kind") == "operand_cls").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
-    operand_edges = simple_link.resolve_operands(operand_m, nodes)
+    operand_edges = simple_link.resolve_operands(operand_m, symtab)
 
     class_new_m = (mention.where((F.col("m_kind") == "call")
                                  & (F.element_at("m_extra", "class_new") == "1"))
                    .select("repo", "lang", "src_type", "src_name", "src_file",
                            "src_start", "dst_name"))
-    class_new_edges = simple_link.resolve_class_new(class_new_m, nodes)
+    class_new_edges = simple_link.resolve_class_new(class_new_m, symtab)
 
     renders_m = mention.where(F.col("m_kind") == "renders").select(
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
         "dst_name")
-    renders_edges = simple_link.resolve_renders(renders_m, nodes)
+    renders_edges = simple_link.resolve_renders(renders_m, symtab)
 
-    parent_edges = simple_link.class_inherits(nodes)
-    of_edges = simple_link.instance_of(nodes)
+    parent_edges = simple_link.class_inherits(nodes, symtab)
+    of_edges = simple_link.instance_of(nodes, symtab)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
@@ -397,7 +403,10 @@ def build_graph(spark: SparkSession, source: DataFrame,
               operand_edges, class_new_edges, renders_edges, parent_edges,
               of_edges, api_edges, itest_edges, e2e_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
-    edges = edges.localCheckpoint()  # truncate the 13-family union lineage
+    # one materialization for the whole union: BTreeSet edge dedup
+    # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation
+    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"]) \
+                 .localCheckpoint()
     stage("edges_linked")
 
     # endpoints whose handler failed the cascade are dropped (go & co)

@@ -114,22 +114,25 @@ def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    # edge dedup first (BTreeSet semantics, btreemap_graph.rs:51-55)
-    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"]) \
-                 .localCheckpoint()
+    """`edges` must arrive deduplicated + materialized (the pipeline's union
+    checkpoint applies the BTreeSet semantics of btreemap_graph.rs:51-55);
+    this runs in THREE materialization jobs (keys, nodes, edges) — round 1
+    ran six, and the per-job planning/codegen fixed cost dominated the link
+    plane's wall clock at bench scale.
 
-    # All removal logic runs over a SLIM projection (no bodies): node rows
-    # carry full source text, and at bench scale repeatedly shuffling them
-    # through every anti-join dominated the wall clock.  The fat table is
-    # touched exactly once at the end.
+    All removal logic runs over a SLIM projection (no bodies): node rows
+    carry full source text; the fat table is touched exactly once at the
+    end.  Edges touching removed nodes are dropped solely by the final
+    endpoint semijoin — a removed node can never be a kept key, so separate
+    removed-edge anti-joins are redundant."""
+    # slim IS checkpointed: the incoming nodes plan carries the endpoint-drop
+    # anti-join over the call cascade, and prune_orphan + the directives read
+    # slim ~8 times — uncheckpointed, each read replays the cascade
     slim = nodes.select("node_key", "node_type", "repo", "lang", "name",
                         "file", "start", "end", "meta").localCheckpoint()
 
-    removed = prune_orphan_functions(slim, edges).localCheckpoint()
+    removed = prune_orphan_functions(slim, edges)
     slim = slim.join(removed, "node_key", "left_anti")
-    edges = (edges
-             .join(removed.withColumnRenamed("node_key", "src_key"), "src_key", "left_anti")
-             .join(removed.withColumnRenamed("node_key", "dst_key"), "dst_key", "left_anti"))
 
     for lang, directives in CLEAN_DIRECTIVES.items():
         for d in directives:
