@@ -316,7 +316,9 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # families below (3 aggregation stages instead of ~12 per-family ones);
     # lazily checkpointed so the union job computes it once and every family
     # reads the truncated plan
-    symtab = simple_link.build_symtab(nodes).localCheckpoint(eager=False)
+    # eager: the union job launches the seven consumer families CONCURRENTLY,
+    # and a lazy checkpoint would be recomputed by each parallel stage
+    symtab = simple_link.build_symtab(nodes).localCheckpoint()
 
     impl_m = mention.where(F.col("m_kind") == "implements").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")

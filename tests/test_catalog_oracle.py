@@ -58,3 +58,21 @@ def test_catalog_query_matches_oracle(spark, ducks, name):
     assert len(s) == len(d), f"row count: spark={len(s)} duck={len(d)}"
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{len(mismatches)} value mismatches, first: {mismatches[:3]}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The LSH scale path is checked against the exact brute-force oracle:
+    every LSH best_cos is <= the exact best_cos (candidate restriction can
+    only lose), and recall@1 over the 20 query vectors stays useful."""
+    from stakgraph_spark.textops.catalog import (q_ann_best_neighbor,
+                                                 q_ann_lsh_best)
+    exact = {r["qid"]: r for r in q_ann_best_neighbor(spark, SF_DIR).collect()}
+    lsh = {r["qid"]: r for r in q_ann_lsh_best(spark, SF_DIR).collect()}
+    assert lsh, "LSH returned no rows"
+    hits = 0
+    for qid, r in lsh.items():
+        assert r["best_cos"] <= exact[qid]["best_cos"] + 1e-4, \
+            f"LSH cos exceeds exact for qid={qid}"
+        hits += int(r["best_neighbor"] == exact[qid]["best_neighbor"])
+    recall = hits / len(exact)
+    assert recall >= 0.5, f"recall@1 too low: {recall}"
