@@ -81,6 +81,13 @@ def extract_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if content is None or len(content.encode("utf-8", "ignore")) > MAX_FILE_SIZE:
                 continue  # skipped=too_large / unreadable — File node still
                 # exists (file plane); parser never sees it (core.rs:298-364)
+            # package manifests route to the get_libs stage, not the language
+            # parser (process_libraries, builder/stages.rs:16-58)
+            from .libs import extract_libs
+            lex = extract_libs(lang, path, content)
+            if lex is not None:
+                out.extend(extraction_to_rows(lex, repo, lang))
+                continue
             fn = get_extractor(lang)
             if fn is None:
                 continue
@@ -88,6 +95,19 @@ def extract_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ex = fn(path, content)
             except Exception:
                 continue  # parser crash on one file must not kill the batch
+            # docs: comment block ending <=2 rows above a definition
+            # (attach_comments, ast/src/lang/mod.rs:85-197) — applied
+            # centrally so every language extractor gets it
+            from .base import COMMENT_STYLE, DOC_TYPES, attach_docs, \
+                collect_comments
+            style = COMMENT_STYLE.get(lang)
+            if style is not None:
+                try:
+                    attach_docs(ex.nodes,
+                                collect_comments(content, style[0], style[1]),
+                                DOC_TYPES[lang])
+                except Exception:
+                    pass  # docs are best-effort; never fail the batch
             out.extend(extraction_to_rows(ex, repo, lang))
         if out:
             # explicit None for absent fields — missing dict keys become NaN

@@ -84,3 +84,120 @@ def trim_quotes(s: str) -> str:
         if s.startswith(q) and s.endswith(q) and len(s) >= 2:
             return s[1:-1]
     return s
+
+
+# ---------------------------------------------------------------------------
+# docs: comment attachment (reference ast/src/lang/mod.rs:85-197)
+# ---------------------------------------------------------------------------
+
+ALL_DOC_TYPES = frozenset(
+    {"Function", "Class", "DataModel", "Trait", "Endpoint", "Var"})
+
+# which node types have a per-language *_comment_query in the reference
+DOC_TYPES: dict[str, frozenset] = {
+    # queries/python.rs: comment/endpoint/var/trait only
+    "python": frozenset({"Function", "Endpoint", "Var", "Trait"}),
+    "go": ALL_DOC_TYPES,         # queries/go.rs:157-174
+    "rust": ALL_DOC_TYPES,       # queries/rust.rs:368-505
+    "typescript": ALL_DOC_TYPES,  # queries/react_ts.rs:475-489,1098
+    "react": ALL_DOC_TYPES,
+}
+
+# (line-comment prefixes, has C-style block comments)
+COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
+    "python": (("#",), False),
+    "go": (("//",), True),
+    "rust": (("//",), True),      # // /// //! are all '//'-prefixed
+    "typescript": (("//",), True),
+    "react": (("//",), True),
+}
+
+
+def collect_comments(code: str, prefixes: tuple[str, ...],
+                     blocks: bool) -> list[tuple[int, int, str]]:
+    """(start_row, end_row, text) per comment node, mirroring tree-sitter's
+    one-capture-per-(comment) behavior: each line comment is its own entry;
+    a /* */ block spans rows."""
+    out: list[tuple[int, int, str]] = []
+    lines = code.split("\n")
+    i = 0
+    while i < len(lines):
+        s = lines[i].strip()
+        if blocks and s.startswith("/*"):
+            j = i
+            while j < len(lines) and "*/" not in lines[j]:
+                j += 1
+            j = min(j, len(lines) - 1)
+            out.append((i, j, "\n".join(lines[i:j + 1])))
+            i = j + 1
+            continue
+        if any(s.startswith(p) for p in prefixes):
+            out.append((i, i, s))
+        i += 1
+    return out
+
+
+def _clean_comment(comment: str) -> str:
+    """parse/format.rs:1463-1505 prefix stripping, line by line."""
+    res = []
+    for line in comment.split("\n"):
+        t = line.strip()
+        if t.startswith("///"):
+            t = t[3:].strip()
+        elif t.startswith("//"):
+            t = t[2:].strip()
+        elif t.startswith("#"):
+            t = t[1:].strip()
+        elif t.startswith("/*"):
+            rest = t[2:].strip()
+            if rest.startswith("*"):
+                rest = rest[1:].strip()
+            if rest.endswith("*/"):
+                t = rest[:-2].strip()
+            elif rest in ("*", ""):
+                t = ""
+            else:
+                t = rest
+        elif t.endswith("*/"):
+            t = t[:-2].strip()
+        elif t.startswith("*"):
+            t = t[1:].strip()
+        res.append(t)
+    return "\n".join(res).strip()
+
+
+def attach_docs(nodes: list[Node], comments: list[tuple[int, int, str]],
+                eligible: frozenset) -> None:
+    """Attach the contiguous comment block ending <=2 rows above each node's
+    start as node.docs (mod.rs:130-182); '@ast ' annotation lines dropped."""
+    if not comments:
+        return
+    cs = sorted(comments, key=lambda c: c[1])
+    for node in nodes:
+        if node.docs is not None or node.node_type not in eligible:
+            continue
+        start = node.start
+        block: list[tuple[int, int, str]] = []
+        for c in reversed(cs):
+            if c[1] > start:
+                continue
+            if not block:
+                if start - c[1] <= 2:
+                    block.append(c)
+                else:
+                    break
+            else:
+                last = block[-1]
+                if last[0] > 0 and max(last[0] - c[1], 0) <= 2:
+                    block.append(c)
+                else:
+                    break
+        if not block:
+            continue
+        block.sort(key=lambda c: c[0])
+        cleaned = [x for x in (_clean_comment(c[2]) for c in block) if x]
+        docs = "\n".join(
+            ln for ln in "\n".join(cleaned).split("\n")
+            if not ln.lstrip().startswith("@ast ")).strip()
+        if docs:
+            node.docs = docs
