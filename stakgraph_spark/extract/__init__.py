@@ -31,6 +31,9 @@ def get_extractor(lang: str):
     if lang == "rust":
         from .rust_lang import extract_rust
         return extract_rust
+    if lang == "java":
+        from .java_lang import extract_java
+        return extract_java
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor

@@ -98,6 +98,7 @@ DOC_TYPES: dict[str, frozenset] = {
     # queries/python.rs: comment/endpoint/var/trait only
     "python": frozenset({"Function", "Endpoint", "Var", "Trait"}),
     "go": ALL_DOC_TYPES,         # queries/go.rs:157-174
+    "java": frozenset({"Function"}),  # queries/java.rs:185 (comment_query only)
     "rust": ALL_DOC_TYPES,       # queries/rust.rs:368-505
     "typescript": ALL_DOC_TYPES,  # queries/react_ts.rs:475-489,1098
     "react": ALL_DOC_TYPES,
@@ -107,6 +108,7 @@ DOC_TYPES: dict[str, frozenset] = {
 COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
     "python": (("#",), False),
     "go": (("//",), True),
+    "java": (("//",), True),
     "rust": (("//",), True),      # // /// //! are all '//'-prefixed
     "typescript": (("//",), True),
     "react": (("//",), True),

@@ -94,7 +94,8 @@ def _pick_not_self(cnt: Column, c1: Column, c2: Column, self_in: Column) -> Colu
 def resolve_calls(mentions: DataFrame, functions: DataFrame,
                   instances: DataFrame, variables: DataFrame,
                   imports_map: DataFrame,
-                  struct_fields: DataFrame | None = None) -> DataFrame:
+                  struct_fields: DataFrame | None = None,
+                  trait_impls: DataFrame | None = None) -> DataFrame:
     """mentions: (repo,lang,src_type,src_name,src_file,src_start,called,operand
     [,rcv_type,rcv_base,rcv_field,skipflag])
     -> resolved (…, dst_file, dst_start, confidence, strategy).
@@ -110,7 +111,7 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
     fns = _fn_base(functions).localCheckpoint(eager=False)
 
     resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map,
-                               struct_fields)
+                               struct_fields, trait_impls=trait_impls)
     resolved = resolved.localCheckpoint()
 
     # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
@@ -150,7 +151,8 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
 def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                     variables: DataFrame, imports_map: DataFrame,
                     struct_fields: DataFrame | None = None,
-                    lean: bool = False) -> DataFrame:
+                    lean: bool = False,
+                    trait_impls: DataFrame | None = None) -> DataFrame:
     m = mentions
     _null_cand = F.lit(None).cast("struct<file:string,start:bigint>")
 
@@ -163,6 +165,22 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
         methods = (fns.where(F.col("m_operand").isNotNull())
                    .groupBy(*KEY, "name", "m_operand")
                    .agg(F.min_by(_cand(), "skey").alias("mc")))
+        if trait_impls is not None:
+            # interface dispatch (java_resolver.rs:239-259): a receiver typed
+            # as an interface resolves to an implementing class's method —
+            # register implementors' methods under the trait name too; direct
+            # class entries win on conflict (min_by priority)
+            tm = (methods.join(
+                      trait_impls.selectExpr("repo", "lang",
+                                             "cls as m_operand", "trait"),
+                      KEY + ["m_operand"], "inner")
+                  .drop("m_operand")
+                  .withColumnRenamed("trait", "m_operand")
+                  .select(*KEY, "name", "m_operand", "mc"))
+            methods = (methods.withColumn("pri", F.lit(0))
+                       .unionByName(tm.withColumn("pri", F.lit(1)))
+                       .groupBy(*KEY, "name", "m_operand")
+                       .agg(F.min_by("mc", F.struct("pri", "mc")).alias("mc")))
         m = (m.join(methods.withColumnRenamed("name", "called")
                            .withColumnRenamed("m_operand", "rcv_type")
                            .withColumnRenamed("mc", "r_reg_direct"),

@@ -298,8 +298,15 @@ def build_graph(spark: SparkSession, source: DataFrame,
                   .unionByName(hm_cascade.withColumn("mk", F.lit("handler")),
                                allowMissingColumns=True))
 
+    # interface dispatch (java): receiver typed as an interface resolves to
+    # an implementing class's method (java_resolver.rs:239-259)
+    trait_impls = (mention.where((F.col("m_kind") == "implements")
+                                 & (F.col("lang") == "java"))
+                   .selectExpr("repo", "lang", "src_name as cls",
+                               "dst_name as trait").distinct())
     resolved_all = resolve_calls(cascade_in, functions, instances, variables,
-                                 imports_map, struct_fields)
+                                 imports_map, struct_fields,
+                                 trait_impls=trait_impls)
     resolved = resolved_all.where(F.col("mk") == "call")
     hres = resolved_all.where(F.col("mk") == "handler")
     call_edges = resolved.select(
@@ -319,6 +326,19 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # eager: the union job launches the seven consumer families CONCURRENTLY,
     # and a lazy checkpoint would be recomputed by each parallel stage
     symtab = simple_link.build_symtab(nodes).localCheckpoint()
+
+    # add_instances keeps an Instance only when its data_type names an
+    # existing Class (btreemap_graph.rs:238-255).  Applied for java, where
+    # every typed declaration is an instance CANDIDATE (java.rs:127-159) —
+    # the other languages' extractors emit pre-filtered instances
+    INSTANCE_FILTER_LANGS = ["java"]
+    class_names = (symtab.where(F.col("t_Class").isNotNull())
+                   .select("repo", "lang", F.col("name").alias("data_type")))
+    inst_drop = (nodes.where((F.col("node_type") == "Instance")
+                             & F.col("lang").isin(INSTANCE_FILTER_LANGS))
+                 .join(class_names, ["repo", "lang", "data_type"], "left_anti")
+                 .select("node_key"))
+    nodes = nodes.join(inst_drop, "node_key", "left_anti")
 
     impl_m = mention.where(F.col("m_kind") == "implements").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
