@@ -34,6 +34,9 @@ def get_extractor(lang: str):
     if lang == "java":
         from .java_lang import extract_java
         return extract_java
+    if lang == "ruby":
+        from .ruby_lang import extract_ruby
+        return extract_ruby
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor

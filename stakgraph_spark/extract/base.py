@@ -99,6 +99,7 @@ DOC_TYPES: dict[str, frozenset] = {
     "python": frozenset({"Function", "Endpoint", "Var", "Trait"}),
     "go": ALL_DOC_TYPES,         # queries/go.rs:157-174
     "java": frozenset({"Function"}),  # queries/java.rs:185 (comment_query only)
+    "ruby": frozenset({"Function", "Endpoint", "Var", "DataModel"}),  # ruby.rs:144-160
     "rust": ALL_DOC_TYPES,       # queries/rust.rs:368-505
     "typescript": ALL_DOC_TYPES,  # queries/react_ts.rs:475-489,1098
     "react": ALL_DOC_TYPES,
@@ -109,6 +110,7 @@ COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
     "python": (("#",), False),
     "go": (("//",), True),
     "java": (("//",), True),
+    "ruby": (("#",), False),
     "rust": (("//",), True),      # // /// //! are all '//'-prefixed
     "typescript": (("//",), True),
     "react": (("//",), True),

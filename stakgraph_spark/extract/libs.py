@@ -130,12 +130,24 @@ def libs_ts(path: str, code: str) -> Extraction:
     return ex
 
 
+def libs_ruby(path: str, code: str) -> Extraction:
+    """Gemfile: gem "name"[, "version"] calls (queries/ruby.rs:43-53)."""
+    ex = Extraction()
+    pat = re.compile(r"""^\s*gem\s+['\"]([^'\"]+)['\"]\s*(?:,\s*['\"]([^'\"]+)['\"])?""")
+    for i, line in enumerate(code.splitlines()):
+        m = pat.match(line)
+        if m:
+            ex.nodes.append(_lib(m.group(1), path, i, line.strip(), m.group(2)))
+    return ex
+
+
 # basename -> (langs it applies to, parser)
 PKG_PARSERS: dict[str, tuple[tuple[str, ...], object]] = {
     "requirements.txt": (("python",), libs_python),
     "go.mod": (("go",), libs_go),
     "Cargo.toml": (("rust", "toml"), libs_rust),
     "package.json": (("typescript", "react", "svelte", "angular"), libs_ts),
+    "Gemfile": (("ruby",), libs_ruby),
 }
 
 

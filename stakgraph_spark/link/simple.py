@@ -355,3 +355,86 @@ def import_edges(import_mentions: DataFrame, nodes: DataFrame) -> DataFrame:
                 node_key_col(F.col("t.node_type"), F.col("dst_name"), F.col("t.file"),
                              F.col("t.start")).alias("dst_key"),
             ))
+
+
+def test_class_calls(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
+    """A Class named like a test node gets a Calls edge from the test
+    (collect_tests, parse/collect.rs:237-244; first class by key order)."""
+    m = (mentions.join(_sym(symtab, "Class", "dst_name", "C"),
+                       KEY + ["dst_name"], "inner")
+         .where(F.col("C").isNotNull()))
+    return m.select(
+        *KEY,
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Class"), F.col("dst_name"), F.col("C.glob.file"),
+                     F.col("C.glob.start")).alias("dst_key"),
+    )
+
+
+def ruby_admit_endpoints(eps: DataFrame, mentions: DataFrame,
+                         ex_nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Ruby (rails) endpoint admission: the handler must resolve to an action
+    Function in a file whose basename is the route's controller suffix
+    (handler_finder, queries/ruby.rs:531-660) — unresolvable candidates from
+    the RESTful expansion are dropped; then first-FINDER-wins dedup on
+    (name, file, verb) (add_endpoints, btreemap_graph.rs:352-372, finder
+    order carried as meta.finder_rank).
+
+    Returns (kept endpoint node rows, Handler edges)."""
+    fns = (ex_nodes.where((F.col("node_type") == "Function")
+                          & (F.col("lang") == "ruby"))
+           .select(*KEY, F.col("name").alias("dst_name"),
+                   F.col("file").alias("f_file"), F.col("start").alias("f_start"),
+                   F.element_at(F.split("file", "/"), -1).alias("ctrl"),
+                   _skey("Function").alias("skey")))
+    hm = (mentions.where((F.col("m_kind") == "handler")
+                         & (F.col("lang") == "ruby"))
+          .select(*KEY, "src_name", "src_file", "src_start", "src_verb",
+                  "dst_name", F.element_at("m_extra", "ctrl").alias("ctrl")))
+    resolved = (hm.join(fns, KEY + ["dst_name", "ctrl"], "inner")
+                .groupBy(*KEY, "src_name", "src_file", "src_start", "src_verb",
+                         "dst_name")
+                .agg(F.min_by(F.struct("f_file", "f_start"), "skey").alias("c")))
+
+    e = eps.withColumn("verb", F.element_at("meta", "verb")) \
+           .withColumn("rank", F.coalesce(
+               F.element_at("meta", "finder_rank").cast("int"), F.lit(99)))
+    res_keys = resolved.select(
+        *KEY, F.col("src_name").alias("name"), F.col("src_file").alias("file"),
+        F.col("src_start").alias("start"),
+        F.coalesce("src_verb", F.lit("")).alias("_v"))
+    e = e.withColumn("_v", F.coalesce("verb", F.lit("")))
+    e = e.join(res_keys, [*KEY, "name", "file", "start", "_v"], "leftsemi")
+
+    cols = [c for c in eps.columns]
+    kept = (e.groupBy(*KEY, "name", "file", "_v")
+            .agg(F.min_by(F.struct(*cols, "verb"),
+                          F.struct("rank", "start")).alias("k"))
+            .select("k.*"))
+
+    kept_keys = kept.select(
+        F.col("repo").alias("k_repo"), F.col("lang").alias("k_lang"),
+        F.col("name").alias("k_name"), F.col("file").alias("k_file"),
+        F.col("start").alias("k_start"),
+        F.coalesce(F.element_at("meta", "verb"), F.lit("")).alias("k_verb"))
+    edges = (resolved
+             .join(kept_keys,
+                   (resolved["repo"] == kept_keys["k_repo"])
+                   & (resolved["lang"] == kept_keys["k_lang"])
+                   & (resolved["src_name"] == kept_keys["k_name"])
+                   & (resolved["src_file"] == kept_keys["k_file"])
+                   & (resolved["src_start"] == kept_keys["k_start"])
+                   & (F.coalesce(resolved["src_verb"], F.lit(""))
+                      == kept_keys["k_verb"]),
+                   "leftsemi")
+             .select(
+                 *KEY,
+                 F.lit("Handler").alias("edge_type"),
+                 node_key_col(F.lit("Endpoint"), F.col("src_name"),
+                              F.col("src_file"), F.col("src_start"),
+                              F.col("src_verb")).alias("src_key"),
+                 node_key_col(F.lit("Function"), F.col("dst_name"),
+                              F.col("c.f_file"), F.col("c.f_start")).alias("dst_key")))
+    return kept.drop("verb", "rank", "_v"), edges

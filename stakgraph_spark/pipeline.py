@@ -213,15 +213,21 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
         "data_type", "meta", "repo", "lang")
 
-    # endpoint admission: meta.handler required (btreemap_graph.rs:352-372),
-    # dedup on (name, file, verb)
-    eps = ex_nodes.where(F.col("node_type") == "Endpoint") \
-        .where(F.element_at("meta", "handler").isNotNull()) \
-        .withColumn("verb", F.element_at("meta", "verb")) \
-        .dropDuplicates(["repo", "lang", "name", "file", "verb"]).drop("verb")
-    ex_nodes = ex_nodes.where(F.col("node_type") != "Endpoint").unionByName(eps)
-
     mention = raw.where(F.col("rec") == "mention")
+
+    # endpoint admission: meta.handler required (btreemap_graph.rs:352-372),
+    # dedup on (name, file, verb).  Ruby (rails) endpoints resolve their
+    # handler FIRST (RESTful expansion candidates without a matching
+    # controller action are dropped), then dedup first-finder-wins.
+    eps_all = ex_nodes.where(F.col("node_type") == "Endpoint") \
+        .where(F.element_at("meta", "handler").isNotNull())
+    eps = (eps_all.where(F.col("lang") != "ruby")
+           .withColumn("verb", F.element_at("meta", "verb"))
+           .dropDuplicates(["repo", "lang", "name", "file", "verb"]).drop("verb"))
+    ruby_eps, ruby_handler_edges = simple_link.ruby_admit_endpoints(
+        eps_all.where(F.col("lang") == "ruby"), mention, ex_nodes)
+    eps = eps.unionByName(ruby_eps)
+    ex_nodes = ex_nodes.where(F.col("node_type") != "Endpoint").unionByName(eps)
     imports_map = mention.where(F.col("m_kind") == "import").select(
         "repo", "lang", F.col("src_file").alias("file"),
         F.col("dst_name").alias("name"), F.col("dst_file").alias("module"))
@@ -349,7 +355,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # edges from `hres` above, and endpoints whose handler failed the
     # cascade are DROPPED (format.rs:516-523 + default handler_finder)
     handler_edges = simple_link.resolve_handlers(
-        handler_m.where(F.col("lang").isin(USE_HANDLER_FINDER)), nodes)
+        handler_m.where(F.col("lang") == "python"), nodes)
     cascade_handler_edges = hres.select(
         "repo", "lang",
         F.lit("Handler").alias("edge_type"),
@@ -412,6 +418,11 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "dst_name")
     renders_edges = simple_link.resolve_renders(renders_m, symtab)
 
+    tc_m = mention.where(F.col("m_kind") == "test_class").select(
+        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
+        "dst_name")
+    test_class_edges = simple_link.test_class_calls(tc_m, symtab)
+
     parent_edges = simple_link.class_inherits(nodes, symtab)
     of_edges = simple_link.instance_of(nodes, symtab)
     api_edges = api_link.link_requests_to_endpoints(nodes)
@@ -421,9 +432,10 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     edges = _norm_edges(direct_edges)
     for e in (file_contains, call_edges, impl_edges, handler_edges,
-              verb_handler_edges, var_edges, dm_edges, imp_edges,
-              operand_edges, class_new_edges, renders_edges, parent_edges,
-              of_edges, api_edges, itest_edges, e2e_edges, fp_edges):
+              ruby_handler_edges, verb_handler_edges, var_edges, dm_edges,
+              imp_edges, operand_edges, class_new_edges, renders_edges,
+              parent_edges, of_edges, api_edges, itest_edges, e2e_edges,
+              test_class_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     # one materialization for the whole union: BTreeSet edge dedup
     # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation

@@ -35,6 +35,7 @@ FIXTURES = {
     "react": "react",
     "nextjs": "react",
     "java": "java",
+    "ruby": "ruby",
 }
 
 
@@ -83,7 +84,7 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
 # languages with a working extractor today — the bench corpus draws from
 # these so files/sec counts only files that are actually parsed
 IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
-                        if v in ("python", "go", "rust", "typescript", "react", "java")}
+                        if v in ("python", "go", "rust", "typescript", "react", "java", "ruby")}
 
 
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:
