@@ -58,7 +58,7 @@ _TYPE_DECL_RE = re.compile(
     r"(?P<kind>class|interface|enum|record)\s+(?P<name>[A-Za-z_]\w*)")
 _METHOD_RE = re.compile(
     r"^\s*(?:(?:public|private|protected|static|final|abstract|default|native|synchronized)\s+)*"
-    r"(?:<[^>]*>\s+)?"
+    r"(?:<[^<>]*(?:<[^<>]*>[^<>]*)*>\s+)?"
     r"(?P<ret>[A-Za-z_][\w.]*(?:\s*<[^={;]*?>)?(?:\[\])*)\s+"
     r"(?P<name>[A-Za-z_]\w*)\s*\(")
 _CTOR_RE = re.compile(

@@ -357,6 +357,29 @@ def import_edges(import_mentions: DataFrame, nodes: DataFrame) -> DataFrame:
             ))
 
 
+def ruby_dm_within(nodes: DataFrame) -> DataFrame:
+    """Ruby data_model_within_finder (queries/ruby.rs:263-287): every
+    Function in {dm.name}_controller.rb CONTAINS the DataModel."""
+    dms = (nodes.where((F.col("node_type") == "DataModel")
+                       & (F.col("lang") == "ruby"))
+           .select(*KEY, F.col("name").alias("dm_name"),
+                   F.col("file").alias("dm_file"), F.col("start").alias("dm_start"),
+                   F.concat(F.col("name"), F.lit("_controller.rb")).alias("ctrl")))
+    fns = (nodes.where((F.col("node_type") == "Function")
+                       & (F.col("lang") == "ruby"))
+           .select(*KEY, "name", "file", "start",
+                   F.element_at(F.split("file", "/"), -1).alias("ctrl")))
+    return (fns.join(dms, KEY + ["ctrl"], "inner")
+            .select(
+                *KEY,
+                F.lit("Contains").alias("edge_type"),
+                node_key_col(F.lit("Function"), F.col("name"), F.col("file"),
+                             F.col("start")).alias("src_key"),
+                node_key_col(F.lit("DataModel"), F.col("dm_name"),
+                             F.col("dm_file"), F.col("dm_start")).alias("dst_key"),
+            ))
+
+
 def test_class_calls(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     """A Class named like a test node gets a Calls edge from the test
     (collect_tests, parse/collect.rs:237-244; first class by key order)."""

@@ -422,6 +422,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "repo", "lang", "src_type", "src_name", "src_file", "src_start",
         "dst_name")
     test_class_edges = simple_link.test_class_calls(tc_m, symtab)
+    ruby_dm_edges = simple_link.ruby_dm_within(nodes)
 
     parent_edges = simple_link.class_inherits(nodes, symtab)
     of_edges = simple_link.instance_of(nodes, symtab)
@@ -435,7 +436,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
               ruby_handler_edges, verb_handler_edges, var_edges, dm_edges,
               imp_edges, operand_edges, class_new_edges, renders_edges,
               parent_edges, of_edges, api_edges, itest_edges, e2e_edges,
-              test_class_edges, fp_edges):
+              test_class_edges, ruby_dm_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     # one materialization for the whole union: BTreeSet edge dedup
     # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation

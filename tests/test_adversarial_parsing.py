@@ -1,0 +1,151 @@
+"""Adversarial inputs for the hand-rolled scanners (VERDICT r01 item 2).
+
+py-tree-sitter is not installable in this container (no network, no wheels
+baked in — see COVERAGE.md §parser note), so the extractors are mask+scan
+line scanners.  These cases are the classic scanner-breakers: string
+literals containing braces/keywords, comments containing code, nested
+generics, rust macros, multi-line constructs.  Pure-python tests (no Spark).
+"""
+
+from stakgraph_spark.extract.go_lang import extract_go
+from stakgraph_spark.extract.java_lang import extract_java
+from stakgraph_spark.extract.python_lang import extract_python
+from stakgraph_spark.extract.ruby_lang import extract_ruby
+from stakgraph_spark.extract.rust_lang import extract_rust
+
+
+def _names(ex, t):
+    return [n.name for n in ex.nodes if n.node_type == t]
+
+
+def test_go_strings_with_braces_and_fake_funcs():
+    src = '''package main
+
+func Real() string {
+\ts := "func Fake() { nested { braces } }"
+\tt := `raw } { func AlsoFake() {`
+\t// func CommentFake() {
+\treturn s + t
+}
+
+func Second() {}
+'''
+    ex = extract_go("a/main.go", src)
+    fns = _names(ex, "Function")
+    assert fns == ["Real", "Second"], fns
+
+
+def test_go_brace_in_string_does_not_break_spans():
+    src = '''package main
+
+func A() {
+\tx := "}"
+\ty := "{"
+\t_ = x + y
+}
+
+func B() {}
+'''
+    ex = extract_go("a/s.go", src)
+    spans = {n.name: (n.start, n.end) for n in ex.nodes
+             if n.node_type == "Function"}
+    assert spans["A"] == (2, 6), spans
+    assert spans["B"][0] == 8
+
+
+def test_rust_nested_generics_and_macros():
+    src = '''pub struct Holder<T: Into<Vec<HashMap<String, Box<dyn Fn() -> u8>>>>> {
+    inner: T,
+}
+
+macro_rules! fake_fn {
+    () => { fn not_a_real_fn() {} };
+}
+
+pub fn real_fn(x: Result<Option<Vec<u8>>, String>) -> bool {
+    let s = "fn string_fn() {}";
+    println!("{}", s);
+    true
+}
+'''
+    ex = extract_rust("src/adv.rs", src)
+    fns = _names(ex, "Function")
+    assert "real_fn" in fns
+    assert "string_fn" not in fns
+    assert "Holder" in _names(ex, "DataModel") + _names(ex, "Class")
+
+
+def test_python_strings_and_nested_defs():
+    src = '''def outer():
+    s = "def fake(): pass"
+    t = \'\'\'
+def also_fake():
+    pass
+\'\'\'
+    def inner():
+        return s + t
+    return inner
+
+class C:
+    def method(self):
+        return "class Fake:"
+'''
+    ex = extract_python("adv.py", src)
+    fns = set(_names(ex, "Function"))
+    assert {"outer", "inner", "method"} <= fns
+    assert "fake" not in fns and "also_fake" not in fns
+    assert _names(ex, "Class") == ["C"]
+
+
+def test_java_strings_annotations_generics():
+    src = '''package adv;
+
+public class Adv {
+    private Map<String, List<Map<Integer, String>>> deep = new HashMap<>();
+
+    public String tricky() {
+        String s = "public void fake() { }";
+        String t = "} } {";
+        return s + t;
+    }
+
+    @SuppressWarnings("unchecked")
+    public <T extends Comparable<T>> T generic(T x) { return x; }
+}
+'''
+    ex = extract_java("src/main/java/Adv.java", src)
+    fns = _names(ex, "Function")
+    assert "tricky" in fns and "generic" in fns
+    assert "fake" not in fns
+    assert _names(ex, "Class") == ["Adv"]
+
+
+def test_ruby_strings_interpolation_and_blocks():
+    src = '''class Thing
+  def real
+    s = "def fake; end"
+    t = "#{s} end end"
+    items.each do |i|
+      puts i
+    end
+    s + t
+  end
+end
+'''
+    ex = extract_ruby("app/models/thing.rb", src)
+    fns = _names(ex, "Function")
+    assert fns == ["real"], fns
+    assert _names(ex, "Class") == ["Thing"]
+    spans = {n.name: n.end for n in ex.nodes if n.node_type == "Class"}
+    assert spans["Thing"] == 9  # the class closes at the real outer end
+
+
+def test_ruby_comment_with_code_ignored():
+    src = '''# def commented_out
+# class AlsoCommented
+CONST_X = 1
+'''
+    ex = extract_ruby("lib/x.rb", src)
+    assert _names(ex, "Function") == []
+    assert _names(ex, "Class") == []
+    assert _names(ex, "Var") == ["CONST_X"]

@@ -1,5 +1,7 @@
 """Resume-from-checkpoint: a restarted run must skip already-extracted
-(repo, lang) partitions (pipeline_manifest) and produce the identical graph."""
+(repo, lang) partitions — computed as an ANTI-JOIN against the manifest
+parquet table (no driver-side partition list) — and produce the identical
+graph; a completed link stage is not rebuilt."""
 
 import json
 import shutil
@@ -20,12 +22,22 @@ def test_resume_skips_done_partitions(spark):
         out1 = r1.run(full.where(full.repo == "fixtures/python/web"))
         assert out1["extracted_partitions"] == 1
         assert out1["skipped_partitions"] == 0
+        assert out1["link_rebuilt"]
 
-        # restart over the FULL source: python/web must be skipped
+        # restart over the FULL source: python/web must be skipped, the link
+        # stage must rerun (new partitions arrived)
         r2 = PipelineRunner(spark, workdir, run_id="run2")
         out2 = r2.run(full)
         assert out2["skipped_partitions"] == 1
         assert out2["extracted_partitions"] == 1  # only python/cli
+        assert out2["link_rebuilt"]
+
+        # third run, nothing new: extract AND link are both skipped
+        r3 = PipelineRunner(spark, workdir, run_id="run3")
+        out3 = r3.run(full)
+        assert out3["extracted_partitions"] == 0
+        assert out3["skipped_partitions"] == 2
+        assert not out3["link_rebuilt"]
 
         # the resumed graph equals a from-scratch build
         from stakgraph_spark.pipeline import build_graph
@@ -36,10 +48,15 @@ def test_resume_skips_done_partitions(spark):
                          .select("node_key").collect()}
         assert fresh_nodes == resumed_nodes
 
-        # manifest + metrics artifacts exist with per-stage lineage
-        manifest = [json.loads(x) for x in open(f"{workdir}/pipeline_manifest.jsonl")]
-        assert {(m["repo"], m["status"]) for m in manifest} == {
-            ("fixtures/python/web", "done"), ("fixtures/python/cli", "done")}
+        # manifest table + metrics artifacts exist with per-stage lineage
+        manifest = spark.read.parquet(f"{workdir}/manifest")
+        done = {(r["stage"], r["repo"]) for r in manifest.collect()}
+        assert ("extract", "fixtures/python/web") in done
+        assert ("extract", "fixtures/python/cli") in done
+        assert ("link", "*") in done
+        # human-readable mirror kept below the cap
+        mirror = [json.loads(x) for x in open(f"{workdir}/pipeline_manifest.jsonl")]
+        assert {m["status"] for m in mirror} == {"done"}
         metrics = [json.loads(x) for x in open(f"{workdir}/stage_metrics.jsonl")]
         link_stages = [m for m in metrics if m["stage"] == "link_materialize"]
         assert link_stages and "node_counts" in link_stages[-1]
