@@ -159,3 +159,122 @@ def link_integration_tests(nodes: DataFrame) -> DataFrame:
         node_key_col(F.lit("Endpoint"), F.col("ep_name"), F.col("ep_file"),
                      F.col("ep_start"), F.col("ep_verb")).alias("dst_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e2e test-id linking (linker.rs:242-300)
+# ---------------------------------------------------------------------------
+
+# lsp/src/language.rs:295-302 test_id_regex per language (python's pattern
+# has no capture group, so it never yields ids — parity kept)
+_TS_TESTID = r"""data-testid=["']([^"']+)["']"""
+_TS_TESTID_BRACE = r"""data-testid=\{['"`]([^'"`]+)['"`]\}"""
+_RB_TESTID = r"""get_by_test_id\(['"]([^'"]+)['"]\)"""
+
+_FRONTEND_LANGS = ["typescript", "react"]
+
+
+def _test_ids(body_col: Column, ext_col: Column) -> Column:
+    ts = F.array_union(
+        F.regexp_extract_all(body_col, F.lit(_TS_TESTID), 1),
+        F.regexp_extract_all(body_col, F.lit(_TS_TESTID_BRACE), 1))
+    rb = F.regexp_extract_all(body_col, F.lit(_RB_TESTID), 1)
+    return F.when(ext_col.isin("ts", "tsx", "js", "jsx"), ts) \
+            .when(ext_col == "rb", rb) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def link_e2e_test_ids(nodes: DataFrame) -> DataFrame:
+    """E2eTest and frontend Function share a test id -> Calls edge
+    (link_e2e_tests, linker.rs:242-280).  Keyed on (repo, id): the reference
+    joins globally because it builds one repo at a time; at multi-repo scale
+    a global id join would cross-link unrelated repos."""
+    ext = F.element_at(F.split("file", "\\."), -1)
+    tests = (nodes.where(F.col("node_type") == "E2eTest")
+             .select("repo", "lang", "name", "file", "start",
+                     F.explode(_test_ids(F.coalesce("body", F.lit("")), ext))
+                     .alias("tid")))
+    fns = (nodes.where((F.col("node_type") == "Function")
+                       & F.col("lang").isin(_FRONTEND_LANGS))
+           .select("repo", F.col("name").alias("f_name"),
+                   F.col("file").alias("f_file"), F.col("start").alias("f_start"),
+                   F.explode(_test_ids(F.coalesce("body", F.lit("")), ext))
+                   .alias("tid")))
+    j = tests.join(fns, ["repo", "tid"]).dropDuplicates(
+        ["repo", "name", "file", "start", "f_name", "f_file", "f_start"])
+    return j.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.lit("E2eTest"), F.col("name"), F.col("file"),
+                     F.col("start")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("f_name"), F.col("f_file"),
+                     F.col("f_start")).alias("dst_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# indirect integration tests via helper functions (linker.rs:94-131)
+# ---------------------------------------------------------------------------
+
+def indirect_test_endpoints(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """IntegrationTest -CALLS-> helper Function (-CALLS-> nested helper)
+    whose body issues a Request matching an Endpoint -> the ENDPOINT node
+    gains meta.indirect_test / meta.test_helper (linker.rs:94-131; the
+    reference mutates the endpoint node, it does not add an edge).
+
+    Returns (node_key, indirect_test, test_helper) for the meta merge."""
+    keyed = nodes.select(
+        "node_key", "node_type", "repo", "lang", "name", "file", "start",
+        "end", F.element_at("meta", "verb").alias("verb"))
+    tests = keyed.where(F.col("node_type") == "IntegrationTest").select(
+        F.col("node_key").alias("t_key"), F.col("name").alias("t_name"))
+    fns = keyed.where(F.col("node_type") == "Function").select(
+        F.col("node_key").alias("h_key"), F.col("name").alias("h_name"),
+        F.col("repo").alias("h_repo"), F.col("file").alias("h_file"),
+        F.col("start").alias("h_start"), F.col("end").alias("h_end"))
+    calls = edges.where(F.col("edge_type") == "Calls")
+
+    def _calls(i):
+        return calls.select(F.col("src_key").alias(f"c{i}_src"),
+                            F.col("dst_key").alias(f"c{i}_dst"))
+
+    h1 = (tests.join(_calls(1), tests["t_key"] == F.col("c1_src"))
+          .join(fns, F.col("c1_dst") == fns["h_key"])
+          .select("t_key", "t_name", "h_key", "h_name", "h_repo", "h_file",
+                  "h_start", "h_end"))
+    # one nested level (get_requests_from_helper -> get_called_helpers)
+    h2 = (h1.select("t_key", "t_name", F.col("h_key").alias("hop_src"))
+          .join(_calls(2), F.col("hop_src") == F.col("c2_src"))
+          .join(fns, F.col("c2_dst") == fns["h_key"])
+          .select("t_key", "t_name", "h_key", "h_name", "h_repo", "h_file",
+                  "h_start", "h_end"))
+    helpers = h1.unionByName(h2).distinct()
+
+    reqs = keyed.where(F.col("node_type") == "Request").select(
+        F.col("node_key").alias("r_key"), F.col("name").alias("r_name"),
+        F.col("repo").alias("r_repo"), F.col("file").alias("r_file"),
+        F.col("start").alias("r_start"), F.col("verb").alias("r_verb"))
+    # request belongs to helper: explicit Calls edge OR spatial containment
+    by_edge = (helpers.join(_calls(3), helpers["h_key"] == F.col("c3_src"))
+               .join(reqs, F.col("c3_dst") == reqs["r_key"])
+               .select("t_name", "h_name", "r_name", "r_verb", "h_repo"))
+    by_span = (helpers.join(reqs, helpers["h_repo"] == reqs["r_repo"])
+               .where((F.col("r_file") == F.col("h_file"))
+                      & (F.col("r_start") >= F.col("h_start"))
+                      & (F.col("r_start") <= F.col("h_end")))
+               .select("t_name", "h_name", "r_name", "r_verb", "h_repo"))
+    hreqs = (by_edge.unionByName(by_span).distinct()
+             .withColumn("npath", normalize_frontend(F.col("r_name")))
+             .where(F.col("npath").isNotNull() & F.col("r_verb").isNotNull()))
+
+    eps = (keyed.where(F.col("node_type") == "Endpoint")
+           .select("node_key", F.col("repo").alias("h_repo"),
+                   normalize_backend(F.col("name")).alias("npath"),
+                   F.upper("verb").alias("e_verb")))
+    hits = hreqs.join(
+        eps, (hreqs["h_repo"] == eps["h_repo"])
+        & (hreqs["npath"] == eps["npath"])
+        & (F.upper(hreqs["r_verb"]) == eps["e_verb"]))
+    return (hits.groupBy("node_key")
+            .agg(F.min("t_name").alias("indirect_test"),
+                 F.min("h_name").alias("test_helper")))

@@ -429,6 +429,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
+    e2e_testid_edges = api_link.link_e2e_test_ids(nodes)
     stage("linking_declared")
 
     edges = _norm_edges(direct_edges)
@@ -436,7 +437,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
               ruby_handler_edges, verb_handler_edges, var_edges, dm_edges,
               imp_edges, operand_edges, class_new_edges, renders_edges,
               parent_edges, of_edges, api_edges, itest_edges, e2e_edges,
-              test_class_edges, ruby_dm_edges, fp_edges):
+              test_class_edges, ruby_dm_edges, e2e_testid_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     # one materialization for the whole union: BTreeSet edge dedup
     # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation
@@ -447,6 +448,23 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # endpoints whose handler failed the cascade are dropped (go & co)
     if dropped_endpoints is not None:
         nodes = nodes.join(dropped_endpoints, "node_key", "left_anti")
+
+    # indirect integration tests: IntegrationTest -CALLS-> helper whose body
+    # issues a Request matching an Endpoint -> the endpoint node gains
+    # meta.indirect_test / meta.test_helper (linker.rs:94-131)
+    ind = api_link.indirect_test_endpoints(nodes, edges)
+    nodes = (nodes.join(ind, "node_key", "left")
+             .withColumn(
+                 "meta",
+                 F.when(F.col("indirect_test").isNotNull(),
+                        F.map_concat(
+                            F.coalesce("meta", F.create_map().cast(
+                                "map<string,string>")),
+                            F.create_map(
+                                F.lit("indirect_test"), F.col("indirect_test"),
+                                F.lit("test_helper"), F.col("test_helper"))))
+                 .otherwise(F.col("meta")))
+             .drop("indirect_test", "test_helper"))
 
     # ---------------- prune plane ----------------
     from .prune import prune_graph
