@@ -31,8 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
 
 BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
-                 "quality_score", "ann_best_neighbor", "pricing_summary",
-                 "top_nation_revenue", "event_sessions"]
+                 "quality_score", "ann_best_neighbor", "ann_lsh_best",
+                 "ngram_jaccard", "link_cascade_resolve", "link_path_match",
+                 "pricing_summary", "top_nation_revenue", "event_sessions"]
 
 
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
@@ -58,8 +59,10 @@ def stage_corpus(spark, copies: int) -> tuple[str, int]:
                                         fixture_source_rows, replicate_rows)
     from stakgraph_spark.schema import SOURCE_SCHEMA
 
-    path = f"/tmp/kg_bench_corpus_c{copies}"
     rows = replicate_rows(fixture_source_rows(IMPLEMENTED_FIXTURES), copies)
+    # cache key includes the row count: the fixture set grows as languages
+    # are implemented, and a stale corpus would poison cross-round comparisons
+    path = f"/tmp/kg_bench_corpus_c{copies}_f{len(rows)}"
     if not os.path.exists(path + "/_SUCCESS"):
         (spark.createDataFrame(rows, SOURCE_SCHEMA)
          .repartition(64).write.mode("overwrite").parquet(path))
