@@ -199,6 +199,12 @@ def build_graph(spark: SparkSession, source: DataFrame,
     src = src.repartition("repo", "lang")
 
     fp_nodes, fp_edges = file_plane(src)
+    # workspace/package detection (monorepos): Package nodes + edges
+    # (workspace/mod.rs:94-200, repo.rs:213-265)
+    from .packages import detect_packages
+    pkg_nodes, pkg_edges = detect_packages(src)
+    fp_nodes = fp_nodes.unionByName(pkg_nodes)
+    fp_edges = fp_edges.unionByName(_norm_edges(pkg_edges))
     stage("file_plane")
 
     # localCheckpoint: the RAW stream feeds ~10 downstream join families;
