@@ -6,11 +6,16 @@ with Spark-native building blocks (FIXTURES.md §4):
 
 * the extraction plane's RAW stream is persisted to parquet partitioned by
   (repo, lang); a `manifest` PARQUET TABLE records one row per finished
-  partition and stage.  A restarted run computes the remaining work as an
-  ANTI-JOIN of the source's (repo, lang) set against the manifest — no
-  driver-side collect of the partition list and no `isin` literal, so resume
-  scales to 10^6 repos (round-1 used a driver JSONL + isin; that was the
-  scale bottleneck flagged in VERDICT r01)
+  partition and stage, including a per-partition CONTENT FINGERPRINT.  A
+  restarted run computes the remaining work as an ANTI-JOIN of the source's
+  (repo, lang, fingerprint) set against the manifest — no driver-side
+  collect of the partition list and no `isin` literal, so resume scales to
+  10^6 repos (round-1 used a driver JSONL + isin; that was the scale
+  bottleneck flagged in VERDICT r01)
+* INCREMENTAL UPDATE (graph_ops.rs:95-274 analogue): a partition whose
+  fingerprint changed (new commits, edited files) is re-extracted and its
+  raw parquet partition is dynamically overwritten; unchanged partitions
+  are never touched
 * a `link` manifest row marks the graph materialization itself; a restart
   after a completed run reuses graph_nodes/graph_edges without rebuilding
 * `stage_metrics` JSONL records per-stage wall time plus node- and
@@ -45,6 +50,7 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("repo", T.StringType()),
     T.StructField("lang", T.StringType()),
     T.StructField("status", T.StringType()),
+    T.StructField("fingerprint", T.LongType()),
     T.StructField("finished_at", T.DoubleType()),
 ])
 
@@ -69,9 +75,12 @@ class PipelineRunner:
     def _mark_df(self, stage: str, parts: DataFrame):
         """append one done-row per (repo, lang) in `parts` (a DataFrame —
         never a driver-side list)."""
+        fp = parts["fingerprint"] if "fingerprint" in parts.columns \
+            else F.lit(None).cast("long")
         rows = parts.select(
             F.lit(self.run_id).alias("run_id"), F.lit(stage).alias("stage"),
             "repo", "lang", F.lit("done").alias("status"),
+            fp.alias("fingerprint"),
             F.lit(round(time.time(), 3)).alias("finished_at"))
         rows.write.mode("append").parquet(self.manifest_path)
         # human-readable mirror, capped (telemetry only; the parquet table is
@@ -94,24 +103,37 @@ class PipelineRunner:
         from .source import with_skip_flags
 
         t_all = time.time()
-        parts = source.select("repo", "lang").distinct()
-        done = (self._manifest()
-                .where((F.col("stage") == "extract")
-                       & (F.col("status") == "done"))
-                .select("repo", "lang").distinct())
-        todo = parts.join(done, ["repo", "lang"], "left_anti")
+        # per-partition content fingerprint: order-insensitive XOR of 64-bit
+        # row hashes (paths are unique per partition, so rows never cancel) —
+        # a changed/added/removed file flips it; XOR cannot overflow under
+        # ANSI mode
+        parts = (source.groupBy("repo", "lang")
+                 .agg(F.expr("bit_xor(xxhash64(path, content))")
+                      .alias("fingerprint")))
+        mf = self._manifest().where((F.col("stage") == "extract")
+                                    & (F.col("status") == "done"))
+        # latest manifest row per partition wins (re-extractions append)
+        done = (mf.groupBy("repo", "lang")
+                .agg(F.max_by("fingerprint", "finished_at").alias("fp_done")))
+        todo = (parts.join(done, ["repo", "lang"], "left")
+                .where(F.col("fp_done").isNull()
+                       | (F.col("fp_done") != F.col("fingerprint")))
+                .select("repo", "lang", "fingerprint"))
 
         n_parts = parts.count()
         n_todo = todo.count()
 
-        # ---- stage: extract (per-partition checkpointed, anti-join resume)
+        # ---- stage: extract (per-partition checkpointed, anti-join resume;
+        # changed partitions are dynamically overwritten) ----
         t0 = time.time()
         if n_todo:
             src_todo = (with_skip_flags(
                 source.join(todo, ["repo", "lang"], "leftsemi"))
                 .repartition("repo", "lang"))
             raw_new = extract_raw(src_todo.where(F.col("skipped").isNull()))
-            (raw_new.write.mode("append").partitionBy("repo", "lang")
+            (raw_new.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("repo", "lang")
              .parquet(self.raw_path))
             self._mark_df("extract", todo)
         raw = (self.spark.read.parquet(self.raw_path)

@@ -63,3 +63,46 @@ def test_resume_skips_done_partitions(spark):
         assert "edge_counts" in link_stages[-1]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_incremental_update_changed_partition(spark):
+    """graph_ops.rs:95-274 analogue: re-running with CHANGED content in one
+    partition re-extracts only that partition (fingerprint diff) and the
+    final graph equals a from-scratch build of the new source."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stakgraph_spark.runner import PipelineRunner
+    from stakgraph_spark.source import fixture_source_df
+
+    workdir = tempfile.mkdtemp(prefix="kg_incr_")
+    try:
+        v1 = fixture_source_df(spark, {"python/web": "python",
+                                       "python/cli": "python"})
+        r1 = PipelineRunner(spark, workdir, run_id="v1")
+        out1 = r1.run(v1)
+        assert out1["extracted_partitions"] == 2
+
+        # v2: one repo's files change (simulated edit)
+        v2 = v1.withColumn(
+            "content",
+            F.when(v1.repo == "fixtures/python/web",
+                   F.concat(F.col("content"), F.lit("\n# edited\n")))
+            .otherwise(F.col("content")))
+        r2 = PipelineRunner(spark, workdir, run_id="v2")
+        out2 = r2.run(v2)
+        assert out2["extracted_partitions"] == 1  # only the changed repo
+        assert out2["skipped_partitions"] == 1
+        assert out2["link_rebuilt"]
+
+        from stakgraph_spark.pipeline import build_graph
+        fresh = build_graph(spark, v2)
+        fresh_keys = {r.node_key for r in fresh.nodes.select("node_key").collect()}
+        incr_keys = {r.node_key for r in
+                     spark.read.parquet(out2["nodes_path"])
+                     .select("node_key").collect()}
+        assert fresh_keys == incr_keys
+    finally:
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
