@@ -319,10 +319,20 @@ def extract_ruby(path: str, content: str) -> Extraction:
             depth += opens
 
     # ---------- class nodes + minitest class-based test nodes ----------
+    inc_re = re.compile(r"^\s*include\s+([A-Z][\w:]*)\s*$")
     for c in classes:
         meta = {}
         if c.extra:
             meta["parent"] = c.extra.split("::")[-1]
+        # `include Module` lines -> meta.includes (class_includes ->
+        # IMPORTS edges, btreemap_graph.rs:603-624)
+        incs = []
+        for r in range(c.start + 1, min(c.end, n - 1) + 1):
+            im2 = inc_re.match(mlines[r])
+            if im2:
+                incs.append(im2.group(1).split("::")[-1])
+        if incs:
+            meta["includes"] = ",".join(incs)
         ex.node("Class", c.name, path, c.start, c.end, body(c.start, c.end),
                 meta=meta)
         mm = _MINITEST_SUPER_RE.match(mlines[c.start])

@@ -261,6 +261,28 @@ def class_inherits(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
             ))
 
 
+def class_includes(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
+    """meta.includes (comma list) -> Class -IMPORTS-> included module's Class
+    (btreemap_graph.rs:603-624; first class by key order)."""
+    cls = (_nodes_of(nodes, "Class")
+           .where(F.element_at("meta", "includes").isNotNull())
+           .select(*KEY, "name", "file", "start",
+                   F.explode(F.split(F.element_at("meta", "includes"), ","))
+                   .alias("dst_name"))
+           .withColumn("dst_name", F.trim("dst_name")))
+    m = (cls.join(_sym(symtab, "Class", "dst_name", "C"), KEY + ["dst_name"],
+                  "inner")
+         .where(F.col("C").isNotNull()))
+    return m.select(
+        *KEY,
+        F.lit("Imports").alias("edge_type"),
+        node_key_col(F.lit("Class"), F.col("name"), F.col("file"),
+                     F.col("start")).alias("src_key"),
+        node_key_col(F.lit("Class"), F.col("dst_name"), F.col("C.glob.file"),
+                     F.col("C.glob.start")).alias("dst_key"),
+    )
+
+
 def instance_of(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
     """Instance.data_type -> Class -> OF edge, only when the class exists
     (btreemap_graph.rs:238-255)."""

@@ -431,6 +431,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     ruby_dm_edges = simple_link.ruby_dm_within(nodes)
 
     parent_edges = simple_link.class_inherits(nodes, symtab)
+    includes_edges = simple_link.class_includes(nodes, symtab)
     of_edges = simple_link.instance_of(nodes, symtab)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
@@ -443,7 +444,8 @@ def build_graph(spark: SparkSession, source: DataFrame,
               ruby_handler_edges, verb_handler_edges, var_edges, dm_edges,
               imp_edges, operand_edges, class_new_edges, renders_edges,
               parent_edges, of_edges, api_edges, itest_edges, e2e_edges,
-              test_class_edges, ruby_dm_edges, e2e_testid_edges, fp_edges):
+              test_class_edges, ruby_dm_edges, e2e_testid_edges,
+              includes_edges, fp_edges):
         edges = edges.unionByName(_norm_edges(e))
     # one materialization for the whole union: BTreeSet edge dedup
     # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation

@@ -93,3 +93,39 @@ test.describe('dashboard e2e', () => {
              .select("src_key", "dst_key").collect()
              if r["src_key"] in e2e_keys and r["dst_key"] in fn_keys]
     assert links, "no E2eTest->Function test-id links found"
+
+
+def test_ruby_class_includes_imports_edge(spark):
+    """`include Module` inside a class -> Class -IMPORTS-> module Class
+    (class_includes, btreemap_graph.rs:603-624)."""
+    from stakgraph_spark.pipeline import build_graph
+    from stakgraph_spark.schema import SOURCE_SCHEMA
+
+    mod = """class Trackable
+  def track
+    puts 'tracked'
+  end
+end
+"""
+    user = """class User
+  include Trackable
+
+  def name
+    'u'
+  end
+end
+"""
+    rows = [
+        {"repo": "synth/inc", "path": "app/models/trackable.rb",
+         "commit": "c1", "lang": "ruby", "content": mod},
+        {"repo": "synth/inc", "path": "app/models/user.rb",
+         "commit": "c1", "lang": "ruby", "content": user},
+    ]
+    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    g = build_graph(spark, src)
+    cls = {r["name"]: r["node_key"] for r in
+           g.nodes.where("node_type='Class'").select("name", "node_key").collect()}
+    imports = {(r["src_key"], r["dst_key"]) for r in
+               g.edges.where("edge_type='Imports'")
+               .select("src_key", "dst_key").collect()}
+    assert (cls["User"], cls["Trackable"]) in imports
