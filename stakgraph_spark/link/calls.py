@@ -38,10 +38,14 @@ KEY = ["repo", "lang"]
 
 
 def _fn_base(functions: DataFrame) -> DataFrame:
-    """Symbol-table base: one row per Function node with resolution columns."""
+    """Symbol-table base: one row per Function node with resolution columns.
+    The slim link-plane node table carries a has_body flag instead of the
+    (byte-heavy) body column."""
+    nonempty = (F.col("has_body") if "has_body" in functions.columns
+                else F.length(F.coalesce(F.col("body"), F.lit(""))) > 0)
     return functions.select(
         "repo", "lang", "name", "file", "start",
-        (F.length(F.coalesce(F.col("body"), F.lit(""))) > 0).alias("nonempty"),
+        nonempty.alias("nonempty"),
         F.col("file").contains("mock").alias("is_mock"),
         F.regexp_replace("file", "/[^/]*$", "").alias("dir"),
         F.element_at(F.col("meta"), "operand").alias("m_operand"),

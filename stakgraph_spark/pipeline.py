@@ -227,9 +227,15 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # controller action are dropped), then dedup first-finder-wins.
     eps_all = ex_nodes.where(F.col("node_type") == "Endpoint") \
         .where(F.element_at("meta", "handler").isNotNull())
+    # deterministic first-wins (min start): dropDuplicates picks an arbitrary
+    # row, which made the graph differ between otherwise identical runs
+    ep_cols = eps_all.columns
     eps = (eps_all.where(F.col("lang") != "ruby")
-           .withColumn("verb", F.element_at("meta", "verb"))
-           .dropDuplicates(["repo", "lang", "name", "file", "verb"]).drop("verb"))
+           .groupBy("repo", "lang", "name", "file",
+                    F.coalesce(F.element_at("meta", "verb"), F.lit(""))
+                    .alias("_v"))
+           .agg(F.min_by(F.struct(*ep_cols), "start").alias("k"))
+           .select("k.*"))
     ruby_eps, ruby_handler_edges = simple_link.ruby_admit_endpoints(
         eps_all.where(F.col("lang") == "ruby"), mention, ex_nodes)
     eps = eps.unionByName(ruby_eps)
@@ -247,8 +253,25 @@ def build_graph(spark: SparkSession, source: DataFrame,
     nodes = _key(nodes)
     # BTreeMap insert = last-write-wins on canonical key; order-insensitive
     # here (duplicate keys are re-extractions of the same entity)
-    nodes = nodes.dropDuplicates(["node_key"])
-    nodes = nodes.localCheckpoint()
+    nodes_full = nodes.dropDuplicates(["node_key"]).localCheckpoint()
+
+    # SLIM link-plane table: bodies are ~90% of node bytes and every link /
+    # prune family re-reads this checkpoint — at bench scale those repeated
+    # reads made the whole link plane DISK-bound (flat across thread counts).
+    # Body text is kept only where link semantics consume it: Import
+    # sections (var linking), Integration/E2e test bodies (endpoint / page /
+    # test-id matching), frontend Function bodies (test-id attributes);
+    # everything else carries a has_body flag (the cascade's nonempty rule).
+    keep_body = (F.col("node_type").isin("Import", "IntegrationTest", "E2eTest")
+                 | ((F.col("node_type") == "Function")
+                    & F.col("lang").isin("typescript", "react")))
+    nodes = (nodes_full
+             .withColumn("has_body",
+                         F.length(F.coalesce("body", F.lit(""))) > 0)
+             .withColumn("body",
+                         F.when(keep_body, F.col("body")).otherwise(F.lit("")))
+             .drop("docs", "hash")
+             .localCheckpoint())
     stage("nodes_assembled")
 
     # File -CONTAINS-> extracted node (add_node_with_parent semantics)
@@ -477,6 +500,15 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # ---------------- prune plane ----------------
     from .prune import prune_graph
     nodes, edges = prune_graph(nodes, edges)
+
+    # restore the fat payload (body/docs/hash) for the surviving keys — the
+    # ONLY pass that touches full bodies after assembly
+    nodes = (nodes.drop("body", "has_body")
+             .join(nodes_full.select("node_key", "body", "docs", "hash"),
+                   "node_key", "left")
+             .select("node_type", "name", "file", "start", "end", "body",
+                     "docs", "hash", "data_type", "meta", "repo", "lang",
+                     "node_key"))
     stage("pruned")
 
     return GraphResult(nodes=nodes, edges=edges, metrics=metrics)
