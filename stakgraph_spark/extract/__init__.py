@@ -37,6 +37,12 @@ def get_extractor(lang: str):
     if lang == "ruby":
         from .ruby_lang import extract_ruby
         return extract_ruby
+    if lang == "kotlin":
+        from .kotlin_lang import extract_kotlin
+        return extract_kotlin
+    if lang == "swift":
+        from .swift_lang import extract_swift
+        return extract_swift
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor

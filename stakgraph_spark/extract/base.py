@@ -103,6 +103,8 @@ DOC_TYPES: dict[str, frozenset] = {
     "rust": ALL_DOC_TYPES,       # queries/rust.rs:368-505
     "typescript": ALL_DOC_TYPES,  # queries/react_ts.rs:475-489,1098
     "react": ALL_DOC_TYPES,
+    "kotlin": frozenset({"Function"}),  # kotlin.rs:144-153 (comment_query only)
+    "swift": frozenset({"Function"}),   # swift.rs:86-95 (comment_query only)
 }
 
 # (line-comment prefixes, has C-style block comments)
@@ -114,6 +116,8 @@ COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
     "rust": (("//",), True),      # // /// //! are all '//'-prefixed
     "typescript": (("//",), True),
     "react": (("//",), True),
+    "kotlin": (("//",), True),
+    "swift": (("//",), True),
 }
 
 

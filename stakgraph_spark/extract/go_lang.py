@@ -26,7 +26,8 @@ from __future__ import annotations
 
 import re
 
-from .base import M_CALL, M_DM_WITHIN, M_HANDLER, M_IDENT, Extraction, trim_quotes
+from .base import (M_CALL, M_DM_WITHIN, M_HANDLER, M_IDENT, M_IMPORT,
+                   Extraction, trim_quotes)
 
 M_OPERAND = "operand_cls"  # function -> receiver class name (link-plane resolve)
 
@@ -273,12 +274,29 @@ def extract_go(path: str, content: str) -> Extraction:
                     i = j + 1
                     continue
             if stripped.startswith("import"):
-                d = _brace_delta(cl)
+                d = cl.count("(") - cl.count(")")
                 j = i
                 while j + 1 < n and d > 0:
                     j += 1
-                    d += _brace_delta(clines[j])
+                    d += clines[j].count("(") - clines[j].count(")")
                 import_rows.extend(range(i, j + 1))
+                # per-import map entries: `alias "path/to/pkg"` — name is the
+                # alias or the last path segment, module the quoted path
+                # (resolve_import_name/path; feeds the cascade's import
+                # strategy and the USES library join)
+                for r in range(i, j + 1):
+                    im = re.search(
+                        r'^\s*(?:import\s*\(?\s*)?(?:([A-Za-z_]\w*|\.)\s+)?"([^"]+)"',
+                        nclines[r])
+                    if not im:
+                        continue
+                    mod = im.group(2)
+                    alias = im.group(1)
+                    name = alias if alias and alias != "." \
+                        else mod.rsplit("/", 1)[-1]
+                    ex.mention(M_IMPORT,
+                               ("File", path.rsplit("/", 1)[-1], path, 0, None),
+                               name, dst_file=mod, row=r)
                 i = j + 1
                 continue
         depth += _brace_delta(cl)

@@ -186,6 +186,13 @@ def extract_python(path: str, content: str) -> Extraction:
                                    alias.name, dst_file=module)
                         ex.mention(M_IMPORT_EDGE, ("File", path, path, 0, None),
                                    alias.name, dst_file=module)
+            else:  # plain `import X [as y]`: binds y/X to module X — feeds
+                # the USES library join (no Function ever matches a module
+                # name, so the cascade's import strategy is unaffected)
+                for alias in s.names:
+                    bound = alias.asname or alias.name.split(".")[0]
+                    ex.mention(M_IMPORT, ("File", path, path, 0, None),
+                               bound, dst_file=alias.name)
 
     # ---------------- vars (module + class level) -------------------------
     def emit_vars(stmts, scope_class=None):

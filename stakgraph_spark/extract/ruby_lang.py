@@ -213,17 +213,18 @@ def _indent(line: str) -> int:
 
 _OPEN_DO_RE = re.compile(r"\bdo\s*(\|[^|]*\|)?\s*$")
 _OPEN_KW_RE = re.compile(
-    r"^\s*(def|class|module|if|unless|case|while|until|begin)\b")
+    r"^\s*(def|class|module|if|unless|case|while|until|for|begin)\b")
 
 
 def _line_delta(masked_line: str) -> tuple[int, int]:
-    """(block opens, block closes) contributed by one masked line."""
+    """(block opens, block closes) contributed by one masked line.
+
+    At most ONE open per line: `while x do` / `for i in xs do` hit both the
+    keyword and the trailing-do pattern but open a single block (a double
+    count prematurely nested every later frame; a `for` loop closed by `end`
+    without a counted open truncated def/class spans)."""
     s = masked_line.rstrip()
-    opens = 0
-    if _OPEN_DO_RE.search(s):
-        opens += 1
-    if _OPEN_KW_RE.match(s):
-        opens += 1
+    opens = 1 if (_OPEN_KW_RE.match(s) or _OPEN_DO_RE.search(s)) else 0
     closes = 1 if _END_RE.match(s) else 0
     return opens, closes
 

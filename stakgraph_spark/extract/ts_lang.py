@@ -307,6 +307,9 @@ _NEW_RE = re.compile(r"\bnew\s+([A-Za-z_$][\w$]*)\s*[(<]")
 _CALL_RE = re.compile(
     r"(?<![\w$.])(?P<chain>[A-Za-z_$][\w$]*(?:\.[A-Za-z_$][\w$]*){0,3})\s*\(")
 _JSX_RE = re.compile(r"<([A-Z][\w$]*)[\s/>]")
+_CHAINED_RCV_RE = re.compile(
+    r"(?<![\w$.])(?P<fn>[A-Za-z_$][\w$]*)\s*\(\s*\)\s*\.\s*"
+    r"(?P<called>[A-Za-z_$][\w$]*)\s*\(")
 _IDENT_RE = re.compile(r"[A-Za-z_$][\w$]*")
 _TYPEID_RE = re.compile(r"\b([A-Z]\w*)\b")
 _STR_RE = re.compile(r"""["'`]([^"'`]*)["'`]""")
@@ -324,6 +327,27 @@ _ROUTE_JSX_RE = re.compile(
 _DEFAULT_EXPORT_RE = re.compile(
     r"export\s+default\s+(?:function\s+)?([A-Za-z_$][\w$]*)"
     r"|export\s*\{\s*([A-Za-z_$][\w$]*)\s+as\s+default\s*\}")
+
+
+_RET_TYPE_RE = re.compile(
+    r"\)\s*:\s*(?P<ret>[A-Za-z_$][\w$.]*(?:<[^={;]*?>)?)\s*(?:=>|\{|;|$)")
+
+
+def _ret_type(mlines, s, n):
+    """Explicit return-type annotation of a function/arrow/method header,
+    Promise-unwrapped (ts_resolver.rs extract_fn_returns:459-519): generic
+    returns and 1-char type params are rejected, `Promise<X>` yields X."""
+    header = " ".join(x.strip() for x in mlines[s:min(s + 3, n)])
+    m = _RET_TYPE_RE.search(header)
+    if not m:
+        return None
+    ret = m.group("ret").strip()
+    if ret.startswith("Promise<") and ret.endswith(">"):
+        inner = ret[8:-1]
+        ret = inner if len(inner) > 1 else ret
+    if not ret or "<" in ret:
+        return None
+    return ret
 
 
 def _delta(line: str) -> int:
@@ -662,6 +686,11 @@ def extract_ts(path: str, content: str, lang: str = "typescript") -> Extraction:
             meta["operand"] = f["operand"][0]
             ex.edge("Operand", ("Class", f["operand"][0], path, f["operand"][1], None),
                     ("Function", f["name"], path, f["start"], None))
+        ret = _ret_type(mlines, f["start"], n)
+        if ret:
+            # feeds the registry's fn_returns chained-call resolution
+            # (ts_resolver.rs:560-600: `getClient().query()`)
+            meta["ret_type"] = ret
         ex.node("Function", f["name"], path, f["start"], f["end"], f["body"],
                 meta=meta)
         src_ref = ("Function", f["name"], path, f["start"], None)
@@ -777,6 +806,14 @@ def _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, s, e, in_test=False
             if name not in ("Request", "NextRequest") and name not in JS_BUILTIN_OBJECTS:
                 ex.mention(M_CALL, src_ref, name, row=off,
                            extra={"class_new": "1"})
+        # chained receiver: `getClient().query(...)` — the receiver is a call
+        # whose declared return type resolves the method (registry fn_returns;
+        # ts_resolver.rs eval_expr_type call_expression arm)
+        for m in _CHAINED_RCV_RE.finditer(cl):
+            called = m.group("called")
+            if called not in KEYWORDS and not should_skip_call(called, None):
+                ex.mention(M_CALL, src_ref, called, row=off,
+                           extra={"rcv_call": m.group("fn")})
         for m in _CALL_RE.finditer(cl):
             chain = m.group("chain")
             if cl[max(0, m.start() - 4):m.start()].rstrip().endswith("new"):

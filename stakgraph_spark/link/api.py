@@ -110,7 +110,9 @@ def link_e2e_tests_pages(nodes: DataFrame) -> DataFrame:
     pages = (nodes.where(F.col("node_type") == "Page")
              .select("repo", F.col("name").alias("p_name"),
                      F.col("file").alias("p_file"), F.col("start").alias("p_start")))
-    j = (tests.join(F.broadcast(pages), KEY, "inner")
+    # shuffle join on repo (corpus-proportional page table must not be a
+    # mandatory broadcast; AQE chooses broadcast when the side is small)
+    j = (tests.join(pages, KEY, "inner")
          .where(F.instr(F.col("body_lc"), F.lower(F.col("p_name"))) > 0))
     return j.select(
         "repo", "lang",
@@ -127,8 +129,10 @@ def link_integration_tests(nodes: DataFrame) -> DataFrame:
     agreement -> Calls edge (linker.rs:34-131).
 
     The contains-join explodes tests × endpoints per repo; endpoints per repo
-    are few (bounded by route count), so this stays linear in tests. At
-    100 TB the endpoint side is broadcast."""
+    are few (bounded by route count), so this stays linear in tests. The join
+    shuffles on repo (co-partitioned with tests); AQE broadcasts the endpoint
+    side when it is small — a mandatory broadcast of ALL repos' endpoints
+    would grow with the corpus."""
     tests = (nodes.where(F.col("node_type") == "IntegrationTest")
              .select("repo", "lang", "name", "file", "start",
                      F.lower(F.coalesce("body", F.lit(""))).alias("body_lc"),
@@ -146,7 +150,7 @@ def link_integration_tests(nodes: DataFrame) -> DataFrame:
            .select("repo", F.col("name").alias("ep_name"),
                    F.col("file").alias("ep_file"), F.col("start").alias("ep_start"),
                    F.element_at("meta", "verb").alias("ep_verb")))
-    j = (tests.join(F.broadcast(eps), KEY, "inner")
+    j = (tests.join(eps, KEY, "inner")
          .where(F.instr(F.col("body_lc"), F.lower(F.col("ep_name"))) > 0)
          .where((F.size("test_verbs") == 0)
                 | F.col("ep_verb").isNull()
@@ -275,6 +279,10 @@ def indirect_test_endpoints(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         eps, (hreqs["h_repo"] == eps["h_repo"])
         & (hreqs["npath"] == eps["npath"])
         & (F.upper(hreqs["r_verb"]) == eps["e_verb"]))
+    # pick BOTH names from one matched row (independent mins could name a
+    # (test, helper) pair that never co-occurred)
     return (hits.groupBy("node_key")
-            .agg(F.min("t_name").alias("indirect_test"),
-                 F.min("h_name").alias("test_helper")))
+            .agg(F.min_by(F.struct("t_name", "h_name"),
+                          F.struct("t_name", "h_name")).alias("p"))
+            .select("node_key", F.col("p.t_name").alias("indirect_test"),
+                    F.col("p.h_name").alias("test_helper")))

@@ -50,6 +50,7 @@ def _fn_base(functions: DataFrame) -> DataFrame:
         F.regexp_replace("file", "/[^/]*$", "").alias("dir"),
         F.element_at(F.col("meta"), "operand").alias("m_operand"),
         F.element_at(F.col("meta"), "nested_in").alias("m_nested_in"),
+        F.element_at(F.col("meta"), "ret_type").alias("m_ret"),
         node_key_col(F.lit("Function"), F.col("name"), F.col("file"),
                      F.col("start")).alias("skey"),
     )
@@ -106,8 +107,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
 
     rcv_* columns are the hybrid-registry receiver facts (strategy 0,
     type_resolved, confidence 1.0 — fires BEFORE the skip list, so mentions
-    with skipflag=1 may ONLY resolve via the registry; format.rs:1080-1098)."""
-    for c in ("rcv_type", "rcv_base", "rcv_field", "skipflag"):
+    with skipflag=1 may ONLY resolve via the registry; format.rs:1080-1098).
+
+    Returns (resolved, unresolved): the unresolved remainder feeds the USES
+    edge family (library-call linking, btreemap_graph.rs:421-431)."""
+    for c in ("rcv_type", "rcv_base", "rcv_field", "rcv_call", "skipflag"):
         if c not in mentions.columns:
             mentions = mentions.withColumn(c, F.lit(None).cast("string"))
     # the symbol-table base feeds ~6 aggregate views per cascade instance;
@@ -123,11 +127,16 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
     # mentions carry operands (handler mentions don't), so this naturally
     # skips the handler path.  Gated on non-empty input: a second cascade is
     # ~10 Spark stages we don't want for zero rows.
+    unres_cols = ["repo", "lang", "mk", "src_type", "src_name", "src_file",
+                  "src_start", "called", "operand", "skipflag"]
     unres = resolved.where(F.col("dst_file").isNull() & F.col("operand").isNotNull())
+    unres_no_op = (resolved.where(F.col("dst_file").isNull()
+                                  & F.col("operand").isNull())
+                   .select(*unres_cols))
     direct = (resolved.where(F.col("dst_file").isNotNull())
               .withColumn("dst_name", F.col("called")))
     if unres.isEmpty():
-        return direct
+        return direct, unres_no_op
 
     base = (unres.drop("dst_file", "dst_start", "confidence", "strategy")
                  .withColumn("orig_called", F.col("called"))
@@ -148,8 +157,14 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
               .drop("orig_called")
               .withColumn("confidence", F.lit(0.35))
               .withColumn("strategy", F.lit("member_expr")))
+    # member-expr misses: restore the original (called, operand) shape
+    member_miss = (base_res.where(F.col("dst_file").isNull())
+                   .withColumn("operand", F.col("called"))
+                   .withColumn("called", F.col("orig_called"))
+                   .select(*unres_cols))
 
-    return direct.unionByName(member, allowMissingColumns=True)
+    return (direct.unionByName(member, allowMissingColumns=True),
+            unres_no_op.unionByName(member_miss))
 
 
 def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
@@ -200,6 +215,21 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                   .drop("ftype"))
         else:
             m = m.withColumn("r_reg_field", _null_cand)
+        # chained-call receivers: `getClient().query()` — the receiver call's
+        # declared return type (Promise-unwrapped) names the method's type
+        # (ts registry fn_returns, ts_resolver.rs:459-519 + registry
+        # typescript.rs:110-127); fn_returns is keyed per (repo, lang, name)
+        # with the first-by-key definition winning
+        rets = (fns.where(F.col("m_ret").isNotNull())
+                .groupBy(*KEY, "name")
+                .agg(F.min_by("m_ret", "skey").alias("ret_type"))
+                .withColumnRenamed("name", "rcv_call"))
+        m = (m.join(rets, KEY + ["rcv_call"], "left")
+              .join(methods.withColumnRenamed("name", "called")
+                           .withColumnRenamed("m_operand", "ret_type")
+                           .withColumnRenamed("mc", "r_reg_ret"),
+                    KEY + ["called", "ret_type"], "left")
+              .drop("ret_type"))
         # imported-object receivers (the ts registry's import tracking:
         # `import {analytics} from m; analytics.track()` -> track() in m's
         # file); fires before the skip list like the rest of strategy 0
@@ -217,8 +247,9 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                   .agg(F.min_by(_cand(), "skey").alias("r_reg_imp")))
         m = m.join(imp_op, KEY + ["src_file", "operand", "called"], "left")
         m = (m.withColumn("r_registry",
-                          F.coalesce("r_reg_direct", "r_reg_field", "r_reg_imp"))
-              .drop("r_reg_direct", "r_reg_field", "r_reg_imp"))
+                          F.coalesce("r_reg_direct", "r_reg_field",
+                                     "r_reg_ret", "r_reg_imp"))
+              .drop("r_reg_direct", "r_reg_field", "r_reg_ret", "r_reg_imp"))
 
     # -- 1. global_unique: one summary row per (repo,lang,name); the all-
     # candidates view and the non-mock view come out of ONE aggregation pass
@@ -304,7 +335,10 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
         by_operand = (fns.where(F.col("m_operand").isNotNull())
                       .groupBy(*KEY, "name", "m_operand")
                       .agg(F.min_by(_cand(), "skey").alias("r_operand")))
-        m = (m.join(F.broadcast(inst), KEY + ["operand"], "left")
+        # plain shuffle join on (repo, lang, operand): the instance table
+        # grows with the corpus, so a mandatory broadcast would blow the
+        # driver at 10^6 repos — AQE picks broadcast when it is actually small
+        m = (m.join(inst, KEY + ["operand"], "left")
               .join(by_operand.withColumnRenamed("name", "called")
                               .withColumnRenamed("m_operand", "data_type"),
                     KEY + ["called", "data_type"], "left")
@@ -318,7 +352,7 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                      .withColumn("nested_in", F.regexp_replace("m_nested_in", trim_q, ""))
                      .groupBy(*KEY, "name", "nested_in")
                      .agg(F.min_by(_cand(), "skey").alias("r_nested")))
-        m = (m.join(F.broadcast(var_names), KEY + ["operand"], "left")
+        m = (m.join(var_names, KEY + ["operand"], "left")
               .withColumn("operand_trim",
                           F.regexp_replace(F.coalesce("operand", F.lit("")), trim_q, ""))
               .join(by_nested.withColumnRenamed("name", "called")

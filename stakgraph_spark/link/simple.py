@@ -418,6 +418,55 @@ def test_class_calls(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
     )
 
 
+def resolve_uses(unresolved: DataFrame, imports_map: DataFrame,
+                 nodes: DataFrame) -> DataFrame:
+    """Cascade-unresolved call mentions that target an IMPORTED LIBRARY ->
+    Function -USES-> Library.
+
+    Reference semantics (btreemap_graph.rs:421-431, graphs/mod.rs:223-229):
+    a call whose definition lives outside the repo (library / std) gets a
+    USES edge instead of CALLS.  The reference discovers this via LSP
+    goto-definition (format.rs:1099-1161); the table-driven re-expression
+    joins the caller's import map against the Library nodes extracted from
+    package manifests (extract/libs.py): the mention's receiver base (or the
+    called name itself for bare imports) must be bound by an import whose
+    module's last path segment names a declared Library.  The USES target is
+    the Library node itself — the engine's stand-in for the reference's
+    external stub Function (it carries the same identity: the dependency)."""
+    m = (unresolved
+         .where(F.col("skipflag").isNull())
+         .withColumn("base",
+                     F.coalesce(F.get(F.split(F.col("operand"), r"\."), 0),
+                                F.col("called")))
+         .select(*KEY, "src_type", "src_name", "src_file", "src_start",
+                 "called", "base"))
+    imp = imports_map.select(
+        *KEY, F.col("file").alias("src_file"), F.col("name").alias("base"),
+        F.element_at(F.split(F.col("module"), "/"), -1).alias("mod_last"))
+    # library identity: strip version specifiers (requirements.txt Library
+    # names keep the whole word, e.g. "requests==2.31.0" — reference parity)
+    # then take the last path segment ("gorm.io/gorm" -> "gorm")
+    lib_base = F.regexp_replace(F.col("name"), r"[=<>!~\[@].*$", "")
+    libs = (nodes.where(F.col("node_type") == "Library")
+            .select(*KEY, F.col("name").alias("lib_name"), "file", "start",
+                    F.element_at(F.split(lib_base, "/"), -1)
+                    .alias("mod_last"),
+                    node_key_col(F.lit("Library"), F.col("name"),
+                                 F.col("file"), F.col("start")).alias("lib_key")))
+    hits = (m.join(imp, KEY + ["src_file", "base"], "inner")
+            .join(libs, KEY + ["mod_last"], "inner")
+            .groupBy(*KEY, "src_type", "src_name", "src_file", "src_start",
+                     "called")
+            .agg(F.min_by(F.struct("lib_key"), "lib_key").alias("t")))
+    return hits.select(
+        *KEY,
+        F.lit("Uses").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        F.col("t.lib_key").alias("dst_key"),
+    )
+
+
 def ruby_admit_endpoints(eps: DataFrame, mentions: DataFrame,
                          ex_nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Ruby (rails) endpoint admission: the handler must resolve to an action
@@ -457,7 +506,11 @@ def ruby_admit_endpoints(eps: DataFrame, mentions: DataFrame,
     kept = (e.groupBy(*KEY, "name", "file", "_v")
             .agg(F.min_by(F.struct(*cols, "verb"),
                           F.struct("rank", "start")).alias("k"))
-            .select("k.*"))
+            .select("k.*")
+            # admission-only meta keys must not leak into the final graph
+            # (the reference's endpoint node format has no finder_rank/ctrl)
+            .withColumn("meta", F.map_filter(
+                "meta", lambda k, _: ~k.isin("finder_rank", "ctrl"))))
 
     kept_keys = kept.select(
         F.col("repo").alias("k_repo"), F.col("lang").alias("k_lang"),

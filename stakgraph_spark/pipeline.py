@@ -194,9 +194,14 @@ def build_graph(spark: SparkSession, source: DataFrame,
         metrics.append({"stage": name, "t": round(time.time() - t0, 3)})
 
     src = with_skip_flags(source)
-    # explicit repartition by (repo, lang): parse tasks are repo-lang slices,
-    # and every downstream symbol-table shuffle is keyed by (repo, lang, ...)
-    src = src.repartition("repo", "lang")
+    # repartition on (repo, lang, path): extraction is per-file independent
+    # and every downstream consumer SHUFFLES on its own key anyway, so the
+    # extra `path` term costs nothing while making parse-task sizes uniform —
+    # hashing only (repo, lang) left whole repo-language slices on single
+    # tasks, and the largest slice bounded the extraction stage's wall clock
+    # at high parallelism (measured 0.74 scaling efficiency in the extract
+    # phase at round 2)
+    src = src.repartition("repo", "lang", "path")
 
     fp_nodes, fp_edges = file_plane(src)
     # workspace/package detection (monorepos): Package nodes + edges
@@ -218,6 +223,14 @@ def build_graph(spark: SparkSession, source: DataFrame,
     ex_nodes = raw.where(F.col("rec") == "node").select(
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
         "data_type", "meta", "repo", "lang")
+    # import-section nodes are named by their own canonical key over the
+    # constant "imports" (combine_import_sections, builder/utils.rs:158-175)
+    ex_nodes = ex_nodes.withColumn(
+        "name",
+        F.when(F.col("node_type") == "Import",
+               node_key_col(F.lit("Import"), F.lit("imports"), F.col("file"),
+                            F.col("start")))
+        .otherwise(F.col("name")))
 
     mention = raw.where(F.col("rec") == "mention")
 
@@ -298,6 +311,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
         F.element_at("m_extra", "rcv_type").alias("rcv_type"),
         F.element_at("m_extra", "rcv_base").alias("rcv_base"),
         F.element_at("m_extra", "rcv_field").alias("rcv_field"),
+        F.element_at("m_extra", "rcv_call").alias("rcv_call"),
         F.element_at("m_extra", "skip").alias("skipflag"))
     struct_fields = mention.where(F.col("m_kind") == "struct_field").select(
         "repo", "lang", F.col("src_name").alias("type"),
@@ -339,9 +353,28 @@ def build_graph(spark: SparkSession, source: DataFrame,
                                  & (F.col("lang") == "java"))
                    .selectExpr("repo", "lang", "src_name as cls",
                                "dst_name as trait").distinct())
-    resolved_all = resolve_calls(cascade_in, functions, instances, variables,
-                                 imports_map, struct_fields,
-                                 trait_impls=trait_impls)
+
+    # CONCURRENT DRIVER THREADS: the call cascade (which materializes its
+    # own checkpoint + runs the member-expr gate) and the shared symbol
+    # table are independent jobs — round 2 measured ~300 s of SERIAL
+    # scheduler/planning latency across ~800 mostly sub-second stages, the
+    # failed 0.8-efficiency target's root cause.  Overlapping independent
+    # jobs lets the scheduler fill idle cores and parallelizes Catalyst
+    # planning across driver threads.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=12)
+    fut_resolve = pool.submit(
+        resolve_calls, cascade_in, functions, instances, variables,
+        imports_map, struct_fields, trait_impls=trait_impls)
+
+    # ONE shared symbol table feeds the same-file-then-global edge families
+    # (3 aggregation stages instead of ~12 per-family ones); eager: every
+    # family job reads the materialized RDD instead of recomputing
+    fut_symtab = pool.submit(
+        lambda: simple_link.build_symtab(nodes).localCheckpoint())
+    symtab = fut_symtab.result()
+
+    resolved_all, unresolved_calls = fut_resolve.result()
     resolved = resolved_all.where(F.col("mk") == "call")
     hres = resolved_all.where(F.col("mk") == "handler")
     call_edges = resolved.select(
@@ -354,18 +387,13 @@ def build_graph(spark: SparkSession, source: DataFrame,
         "operand", "confidence", "strategy")
     stage("calls_resolved")
 
-    # ONE shared symbol table feeds the seven same-file-then-global edge
-    # families below (3 aggregation stages instead of ~12 per-family ones);
-    # lazily checkpointed so the union job computes it once and every family
-    # reads the truncated plan
-    # eager: the union job launches the seven consumer families CONCURRENTLY,
-    # and a lazy checkpoint would be recomputed by each parallel stage
-    symtab = simple_link.build_symtab(nodes).localCheckpoint()
-
     # add_instances keeps an Instance only when its data_type names an
     # existing Class (btreemap_graph.rs:238-255).  Applied for java, where
     # every typed declaration is an instance CANDIDATE (java.rs:127-159) —
-    # the other languages' extractors emit pre-filtered instances
+    # the other languages' extractors emit pre-filtered instances.
+    # The anti-join is applied ONLY where dropped instances matter
+    # (instance_of input + the final node set) — reassigning `nodes` here
+    # used to replay the anti-join inside every downstream family's plan.
     INSTANCE_FILTER_LANGS = ["java"]
     class_names = (symtab.where(F.col("t_Class").isNotNull())
                    .select("repo", "lang", F.col("name").alias("data_type")))
@@ -373,7 +401,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
                              & F.col("lang").isin(INSTANCE_FILTER_LANGS))
                  .join(class_names, ["repo", "lang", "data_type"], "left_anti")
                  .select("node_key"))
-    nodes = nodes.join(inst_drop, "node_key", "left_anti")
+    nodes_no_badinst = nodes.join(inst_drop, "node_key", "left_anti")
 
     impl_m = mention.where(F.col("m_kind") == "implements").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
@@ -405,11 +433,19 @@ def build_graph(spark: SparkSession, source: DataFrame,
     dropped_endpoints = all_cascade_eps.join(resolved_eps, "node_key", "left_anti")
 
     # set-valued mentions: intersect the per-function identifier array with
-    # the (small) per-(repo,lang) symbol-name set FIRST, explode after — a
-    # per-identifier row stream was the dominant shuffle volume at scale
+    # the per-(repo,lang) symbol-name set FIRST, explode after — a
+    # per-identifier row stream was the dominant shuffle volume at scale.
+    # The name set is BUCKETED by name hash: one giant monorepo-language
+    # slice with millions of distinct names would otherwise collect into a
+    # single-row memory bomb; with B buckets each collected set is ~1/B of
+    # the slice and every mention row meets at most B bucket rows.
+    SET_BUCKETS = 16
+
     def explode_set(kind: str, symbol_type: str) -> DataFrame:
         name_sets = (nodes.where(F.col("node_type") == symbol_type)
-                     .groupBy("repo", "lang")
+                     .groupBy("repo", "lang",
+                              F.pmod(F.xxhash64("name"),
+                                     F.lit(SET_BUCKETS)).alias("_b"))
                      .agg(F.collect_set("name").alias("sym_names")))
         sets = mention.where(F.col("m_kind") == kind).select(
             "repo", "lang", "src_type", "src_name", "src_file", "src_start",
@@ -453,28 +489,39 @@ def build_graph(spark: SparkSession, source: DataFrame,
     test_class_edges = simple_link.test_class_calls(tc_m, symtab)
     ruby_dm_edges = simple_link.ruby_dm_within(nodes)
 
+    uses_edges = simple_link.resolve_uses(
+        unresolved_calls.where(F.col("mk") == "call"), imports_map, nodes)
     parent_edges = simple_link.class_inherits(nodes, symtab)
     includes_edges = simple_link.class_includes(nodes, symtab)
-    of_edges = simple_link.instance_of(nodes, symtab)
+    of_edges = simple_link.instance_of(nodes_no_badinst, symtab)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
     e2e_testid_edges = api_link.link_e2e_test_ids(nodes)
     stage("linking_declared")
 
-    edges = _norm_edges(direct_edges)
-    for e in (file_contains, call_edges, impl_edges, handler_edges,
-              ruby_handler_edges, verb_handler_edges, var_edges, dm_edges,
-              imp_edges, operand_edges, class_new_edges, renders_edges,
-              parent_edges, of_edges, api_edges, itest_edges, e2e_edges,
-              test_class_edges, ruby_dm_edges, e2e_testid_edges,
-              includes_edges, fp_edges):
-        edges = edges.unionByName(_norm_edges(e))
-    # one materialization for the whole union: BTreeSet edge dedup
-    # (btreemap_graph.rs:51-55) rides the same job as the lineage truncation
+    # materialize every family as a CONCURRENT job: the driver thread pool
+    # overlaps their planning and their (mostly sub-second) stages, which
+    # were serialized by the single union job in rounds 1-2 — the measured
+    # scheduler-latency serial fraction that broke the scaling target
+    fams = [direct_edges, file_contains, call_edges, impl_edges,
+            handler_edges, ruby_handler_edges, verb_handler_edges, var_edges,
+            dm_edges, imp_edges, operand_edges, class_new_edges,
+            renders_edges, parent_edges, of_edges, api_edges, itest_edges,
+            e2e_edges, test_class_edges, ruby_dm_edges, e2e_testid_edges,
+            includes_edges, uses_edges, fp_edges]
+    futs = [pool.submit(lambda d=d: _norm_edges(d).localCheckpoint())
+            for d in fams]
+    checked = [f.result() for f in futs]
+    edges = checked[0]
+    for e in checked[1:]:
+        edges = edges.unionByName(e)
+    # BTreeSet edge dedup (btreemap_graph.rs:51-55) over the materialized
+    # family RDDs — one shuffle, shallow plan
     edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"]) \
                  .localCheckpoint()
     stage("edges_linked")
+    nodes = nodes_no_badinst
 
     # endpoints whose handler failed the cascade are dropped (go & co)
     if dropped_endpoints is not None:
@@ -499,7 +546,8 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     # ---------------- prune plane ----------------
     from .prune import prune_graph
-    nodes, edges = prune_graph(nodes, edges)
+    nodes, edges = prune_graph(nodes, edges, pool=pool)
+    pool.shutdown(wait=False)
 
     # restore the fat payload (body/docs/hash) for the surviving keys — the
     # ONLY pass that touches full bodies after assembly

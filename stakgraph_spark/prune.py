@@ -113,7 +113,8 @@ def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return remove
 
 
-def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def prune_graph(nodes: DataFrame, edges: DataFrame,
+                pool=None) -> tuple[DataFrame, DataFrame]:
     """`edges` must arrive deduplicated + materialized (the pipeline's union
     checkpoint applies the BTreeSet semantics of btreemap_graph.rs:51-55);
     this runs in THREE materialization jobs (keys, nodes, edges) — round 1
@@ -134,6 +135,14 @@ def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     removed = prune_orphan_functions(slim, edges)
     slim = slim.join(removed, "node_key", "left_anti")
 
+    # the reference's remove_node drops a node's edges with it — the dedup
+    # directive must not count an Operand edge whose dst Function was just
+    # orphan-pruned as keeper evidence (orphan-pruned nodes are all
+    # Functions, and Operand dsts are Functions, so dst is the only side
+    # that can dangle here)
+    edges = edges.join(removed.withColumnRenamed("node_key", "dst_key"),
+                       "dst_key", "left_anti")
+
     for lang, directives in CLEAN_DIRECTIVES.items():
         for d in directives:
             if d[0] == "dedup":
@@ -150,4 +159,9 @@ def prune_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     edges = (edges
              .join(keys.withColumnRenamed("node_key", "src_key"), "src_key", "leftsemi")
              .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
+    if pool is not None:
+        # the two final materializations are independent — overlap them
+        fn = pool.submit(nodes.localCheckpoint)
+        fe = pool.submit(edges.localCheckpoint)
+        return fn.result(), fe.result()
     return nodes.localCheckpoint(), edges.localCheckpoint()

@@ -36,10 +36,12 @@ def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
     return visited
 
 
-def find_resource_nodes(nodes: DataFrame, verb: str, path: str) -> DataFrame:
-    """Endpoint nodes whose name contains the normalized path and whose verb
-    matches (find_resource_nodes, reference graph trait)."""
-    return (nodes.where(F.col("node_type") == "Endpoint")
+def find_resource_nodes(nodes: DataFrame, verb: str, path: str,
+                        node_type: str = "Endpoint") -> DataFrame:
+    """Endpoint/Request nodes whose name contains the normalized path and
+    whose verb matches (find_resource_nodes, reference graph trait — the
+    FrontendTester probes Request nodes, the BackendTester Endpoints)."""
+    return (nodes.where(F.col("node_type") == node_type)
             .where(F.col("name").contains(path))
             .where(F.upper(F.element_at("meta", "verb")) == verb.upper()))
 

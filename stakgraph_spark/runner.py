@@ -72,14 +72,14 @@ class PipelineRunner:
             return self.spark.read.parquet(self.manifest_path)
         return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def _mark_df(self, stage: str, parts: DataFrame):
-        """append one done-row per (repo, lang) in `parts` (a DataFrame —
+    def _mark_df(self, stage: str, parts: DataFrame, status: str = "done"):
+        """append one status-row per (repo, lang) in `parts` (a DataFrame —
         never a driver-side list)."""
         fp = parts["fingerprint"] if "fingerprint" in parts.columns \
             else F.lit(None).cast("long")
         rows = parts.select(
             F.lit(self.run_id).alias("run_id"), F.lit(stage).alias("stage"),
-            "repo", "lang", F.lit("done").alias("status"),
+            "repo", "lang", F.lit(status).alias("status"),
             fp.alias("fingerprint"),
             F.lit(round(time.time(), 3)).alias("finished_at"))
         rows.write.mode("append").parquet(self.manifest_path)
@@ -110,11 +110,15 @@ class PipelineRunner:
         parts = (source.groupBy("repo", "lang")
                  .agg(F.expr("bit_xor(xxhash64(path, content))")
                       .alias("fingerprint")))
-        mf = self._manifest().where((F.col("stage") == "extract")
-                                    & (F.col("status") == "done"))
-        # latest manifest row per partition wins (re-extractions append)
+        mf = self._manifest().where(F.col("stage") == "extract")
+        # latest manifest row per partition wins (re-extractions and
+        # removal tombstones append)
         done = (mf.groupBy("repo", "lang")
-                .agg(F.max_by("fingerprint", "finished_at").alias("fp_done")))
+                .agg(F.max_by(F.struct("fingerprint", "status"),
+                              "finished_at").alias("last"))
+                .where(F.col("last.status") == "done")
+                .select("repo", "lang",
+                        F.col("last.fingerprint").alias("fp_done")))
         todo = (parts.join(done, ["repo", "lang"], "left")
                 .where(F.col("fp_done").isNull()
                        | (F.col("fp_done") != F.col("fingerprint")))
@@ -122,6 +126,13 @@ class PipelineRunner:
 
         n_parts = parts.count()
         n_todo = todo.count()
+        # a (repo, lang) partition that vanished from the source must force a
+        # link rebuild even when n_todo == 0 — otherwise the old graph (still
+        # containing the deleted repo) would be returned as-is.  The raw rows
+        # themselves are dropped by the `raw leftsemi parts` filter below.
+        # A "removed" tombstone row makes the detection one-shot.
+        gone = done.join(parts, ["repo", "lang"], "left_anti")
+        n_removed = gone.count()
 
         # ---- stage: extract (per-partition checkpointed, anti-join resume;
         # changed partitions are dynamically overwritten) ----
@@ -152,7 +163,7 @@ class PipelineRunner:
                             & (F.col("status") == "done")).count() > 0)
         t0 = time.time()
         g_metrics: list = []
-        if n_todo or not link_done \
+        if n_todo or n_removed or not link_done \
                 or not os.path.exists(os.path.join(nodes_path, "_SUCCESS")):
             # keep only raw rows for partitions present in this source
             raw = raw.join(parts, ["repo", "lang"], "leftsemi")
@@ -163,6 +174,8 @@ class PipelineRunner:
              .parquet(edges_path))
             self._mark_df("link", self.spark.createDataFrame(
                 [("*", "*")], ["repo", "lang"]))
+            if n_removed:
+                self._mark_df("extract", gone, status="removed")
             g_metrics = g.metrics
             link_rebuilt = True
         else:

@@ -36,6 +36,9 @@ FIXTURES = {
     "nextjs": "react",
     "java": "java",
     "ruby": "ruby",
+    "kotlin": "kotlin",
+    "swift/LegacyApp": "swift",
+    "swift/ModernApp": "swift",
 }
 
 
@@ -70,7 +73,11 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
                 content = raw.decode("utf-8")
             except (OSError, UnicodeDecodeError):
                 content = None  # unreadable/binary -> flagged, not parsed
-            rel = os.path.relpath(full, root)
+            # repo-relative layout identical to the reference's own builds
+            # (Repo::new("src/testing/<fixture>") stores paths with this
+            # prefix, and the kotlin/swift fixtures assert Import node names
+            # derived from it)
+            rel = "src/testing/" + os.path.relpath(full, root)
             rows.append({
                 "repo": repo,
                 "path": rel,
@@ -84,7 +91,8 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
 # languages with a working extractor today — the bench corpus draws from
 # these so files/sec counts only files that are actually parsed
 IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
-                        if v in ("python", "go", "rust", "typescript", "react", "java", "ruby")}
+                        if v in ("python", "go", "rust", "typescript", "react",
+                                 "java", "ruby", "kotlin", "swift")}
 
 
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:

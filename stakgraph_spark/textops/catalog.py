@@ -254,25 +254,57 @@ FROM mins
 """
 
 
+_PAIR_SALTS = 8  # skew salt: one band bucket is handled by S tasks, not 1
+
+
 def q_minhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs over EXACT-DEDUP REPRESENTATIVES.
+
+    Production dedup order (exact first, near second): byte-identical
+    duplicate clusters — the dominant skew source at corpus scale
+    (boilerplate licenses, templated pages) — collapse to their min-doc_id
+    representative BEFORE banding, so a 10^6-identical cluster contributes
+    one row to the band join instead of 10^12 pairs.  The remaining band
+    self-join is SALTED: the probe side carries salt = hash(doc_id) % S and
+    the build side is replicated S ways, so a single hot (band) bucket is
+    processed by S tasks instead of one."""
+    d = _docs(spark, sf_dir)
+    reps = (d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("h"))
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id")))
     # materialize the bands once: both band self-joins reuse them (the
     # shingle explode is the expensive part)
-    b = q_minhash_bands(spark, sf_dir).localCheckpoint()
-    p1 = b.alias("a").join(b.alias("b"), F.col("a.band1") == F.col("b.band1")) \
-        .where(F.col("a.doc_id") < F.col("b.doc_id")) \
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-    p2 = b.alias("a").join(b.alias("b"), F.col("a.band2") == F.col("b.band2")) \
-        .where(F.col("a.doc_id") < F.col("b.doc_id")) \
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-    return p1.unionByName(p2).distinct()
+    b = (q_minhash_bands(spark, sf_dir)
+         .join(reps.select("doc_id"), "doc_id", "leftsemi")
+         .localCheckpoint())
+
+    def pairs(band_col: str):
+        left = b.select(F.col("doc_id").alias("a"),
+                        F.col(band_col).alias("bd"),
+                        F.pmod(F.xxhash64("doc_id"),
+                               F.lit(_PAIR_SALTS)).alias("salt"))
+        right = (b.select(F.col("doc_id").alias("b"),
+                          F.col(band_col).alias("bd"))
+                 .withColumn("salt", F.explode(F.sequence(
+                     F.lit(0).cast("long"),
+                     F.lit(_PAIR_SALTS - 1).cast("long")))))
+        return (left.join(right, ["bd", "salt"])
+                .where(F.col("a") < F.col("b")).select("a", "b"))
+
+    return pairs("band1").unionByName(pairs("band2")).distinct()
 
 
 SQL_MINHASH_PAIRS = f"""
 {_SQL_SHINGLES},
+reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents)
+  GROUP BY h),
 mins AS (
   SELECT doc_id,
          {', '.join(f"min(md5('{k}' || '|' || sh)) AS h{k}" for k in range(8))}
-  FROM sh GROUP BY doc_id),
+  FROM sh WHERE doc_id IN (SELECT doc_id FROM reps) GROUP BY doc_id),
 bands AS (
   SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band1,
          md5(h4 || h5 || h6 || h7) AS band2 FROM mins)

@@ -1,0 +1,31 @@
+"""MinHash band join must not go quadratic inside a giant duplicate
+cluster: byte-identical docs collapse to one exact-dedup representative
+BEFORE banding, so a 10k-identical cluster yields zero band pairs instead
+of ~5*10^7 (the round-2 scale risk flagged in VERDICT r02)."""
+
+import shutil
+
+from stakgraph_spark.textops.catalog import q_minhash_pairs
+
+
+def test_giant_duplicate_cluster_bounded(spark, tmp_path):
+    boiler = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software and associated files " * 3)
+    rows = [(i, boiler) for i in range(10_000)]
+    # one small near-dup family that must still be detected
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before sunrise " * 4)
+    rows += [(100_000, base), (100_001, base + " extra tail words here"),
+             (100_002, base + " extra tail words there")]
+    sf_dir = str(tmp_path / "sf")
+    (spark.createDataFrame(rows, "doc_id: long, text: string")
+     .write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet"))
+
+    pairs = q_minhash_pairs(spark, sf_dir).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # the identical cluster contributes no pairs (one representative), the
+    # near-dup family still bands together
+    assert all(a >= 100_000 for a, _ in got), "identical cluster leaked pairs"
+    assert (100_000, 100_001) in got or (100_000, 100_002) in got
+    assert len(got) <= 10
+    shutil.rmtree(sf_dir, ignore_errors=True)

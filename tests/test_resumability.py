@@ -106,3 +106,44 @@ def test_incremental_update_changed_partition(spark):
     finally:
         import shutil
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_removed_partition_forces_link_rebuild(spark):
+    """A (repo, lang) partition that disappears from the source must trigger
+    a link rebuild (the old graph still contains the deleted repo) — and the
+    removal tombstone makes the rebuild one-shot, not perpetual."""
+    import shutil
+    import tempfile
+
+    from stakgraph_spark.runner import PipelineRunner
+    from stakgraph_spark.source import fixture_source_df
+
+    workdir = tempfile.mkdtemp(prefix="kg_rm_")
+    try:
+        full = fixture_source_df(spark, {"python/web": "python",
+                                         "python/cli": "python"})
+        r1 = PipelineRunner(spark, workdir, run_id="v1")
+        r1.run(full)
+
+        only_web = full.where(full.repo == "fixtures/python/web")
+        r2 = PipelineRunner(spark, workdir, run_id="v2")
+        out2 = r2.run(only_web)
+        assert out2["extracted_partitions"] == 0
+        assert out2["link_rebuilt"]  # cli vanished -> graph must shrink
+        got = {r.repo for r in
+               spark.read.parquet(out2["nodes_path"]).select("repo")
+               .distinct().collect()}
+        assert got == {"fixtures/python/web"}
+
+        # same shrunken source again: nothing to do, no rebuild loop
+        r3 = PipelineRunner(spark, workdir, run_id="v3")
+        out3 = r3.run(only_web)
+        assert not out3["link_rebuilt"]
+
+        # the removed repo coming BACK is re-extracted (tombstone cleared)
+        r4 = PipelineRunner(spark, workdir, run_id="v4")
+        out4 = r4.run(full)
+        assert out4["extracted_partitions"] == 1
+        assert out4["link_rebuilt"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
