@@ -47,6 +47,22 @@ def make_spark(cpus: int):
             .config("spark.driver.memory", DRIVER_MEM)
             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
             .config("spark.sql.adaptive.enabled", "true")
+            # keep post-shuffle parallelism at the core count: with the
+            # default 64 MB advisory size AQE coalesces the link plane's
+            # small shuffles to 1-2 partitions, idling every core past the
+            # second (measured: the local[8] link plane ran barely 1.3x
+            # local[2] at 144k files)
+            .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                    "true")
+            .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                    "1m")
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+            .config("spark.rdd.compress", "true")
+            # big symbol-table lookup sides must NOT broadcast: the driver
+            # builds broadcast hash tables single-threaded, a serial cost
+            # that grows with the corpus (measured L ~ 217 s at 144k files)
+            .config("spark.sql.autoBroadcastJoinThreshold",
+                    os.environ.get("SPARK_GRAFT_BCAST", "10m"))
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
@@ -148,6 +164,34 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
             "stages": best["stages"]}
 
 
+def hw_calibration(levels: tuple[int, int]) -> dict:
+    """Measured pure-CPU scaling of THIS machine between the two worker
+    counts (multiprocessing busy-loop).  The container's vCPUs are
+    co-tenant-throttled, so N->4N rarely yields 4x even for embarrassingly
+    parallel work — the pipeline's efficiency is reported raw AND relative
+    to this ceiling."""
+    import hashlib
+    import multiprocessing as mp
+
+    def burn(n):
+        h = hashlib.md5()
+        s = b"x" * 4096
+        for _ in range(n):
+            h.update(s)
+
+    def rate(workers, n=150_000):
+        with mp.Pool(workers) as p:
+            t0 = time.time()
+            p.map(burn, [n] * workers)
+            return workers * n / (time.time() - t0)
+
+    r1 = max(rate(levels[0]) for _ in range(2))
+    r2 = max(rate(levels[1]) for _ in range(2))
+    return {"rate_n": r1, "rate_4n": r2,
+            "hw_ratio": round(r2 / r1, 3),
+            "hw_ceiling": round((r2 / r1) / (levels[1] / levels[0]), 3)}
+
+
 def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
                 reps: int = 2) -> None:
     results = []
@@ -161,6 +205,8 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
     rn, r4n = results
     n1, n2 = levels
     eff = (r4n["files_per_sec"] / rn["files_per_sec"]) / (n2 / n1)
+    hw = hw_calibration(levels)
+    rel = round(eff / hw["hw_ceiling"], 3) if hw["hw_ceiling"] else None
     os.makedirs("BENCH", exist_ok=True)
     rep_rows = "\n".join(
         f"| local[{r['cpus']}] rep {i + 1} | {x['sec']} | {x['files_per_sec']} |"
@@ -174,6 +220,12 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
 | local[{n2}] (4N) | {r4n['files']} | {r4n['sec']} | {r4n['files_per_sec']} | {r4n['nodes']} | {r4n['edges']} |
 
 **Scaling efficiency = (rate_4N / rate_N) / {n2 // n1} = {eff:.3f}** (target >= 0.8).
+
+Hardware calibration (pure-CPU multiprocessing busy-loop on THIS machine at
+run time): {n1} -> {n2} workers scaled {hw['hw_ratio']}x of {n2 // n1}x ideal =
+**{hw['hw_ceiling']:.3f} ceiling** even for embarrassingly parallel work
+(co-tenant vCPU throttling).  Pipeline efficiency relative to the machine
+ceiling: **{rel}**.
 
 All reps (rep 1 cold JVM, rep 2+ warm JIT/codegen — the steady state of a
 long-running cluster; best-of defuses co-tenant CPU steal):
@@ -189,6 +241,7 @@ Per-stage timings (best runs):
 ```
 """)
     print(json.dumps({"efficiency": round(eff, 3), "levels": levels,
+                      "hw": hw, "efficiency_vs_hw": rel,
                       "rn": rn, "r4n": r4n}))
 
 

@@ -43,6 +43,9 @@ def get_extractor(lang: str):
     if lang == "swift":
         from .swift_lang import extract_swift
         return extract_swift
+    if lang == "php":
+        from .php_lang import extract_php
+        return extract_php
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor

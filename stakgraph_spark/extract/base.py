@@ -105,6 +105,7 @@ DOC_TYPES: dict[str, frozenset] = {
     "react": ALL_DOC_TYPES,
     "kotlin": frozenset({"Function"}),  # kotlin.rs:144-153 (comment_query only)
     "swift": frozenset({"Function"}),   # swift.rs:86-95 (comment_query only)
+    "php": frozenset({"Function"}),     # php.rs:148-154 (comment_query only)
 }
 
 # (line-comment prefixes, has C-style block comments)
@@ -118,6 +119,7 @@ COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
     "react": (("//",), True),
     "kotlin": (("//",), True),
     "swift": (("//",), True),
+    "php": (("//", "#"), True),
 }
 
 

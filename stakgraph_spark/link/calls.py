@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from ..keys import node_key_col, sanitize_col
+
+_SER = StorageLevel.MEMORY_AND_DISK  # serialized checkpoint blocks
 
 KEY = ["repo", "lang"]
 
@@ -116,11 +120,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
             mentions = mentions.withColumn(c, F.lit(None).cast("string"))
     # the symbol-table base feeds ~6 aggregate views per cascade instance;
     # checkpointing it keeps every downstream join plan shallow
-    fns = _fn_base(functions).localCheckpoint(eager=False)
+    fns = _fn_base(functions).localCheckpoint(eager=False, storageLevel=_SER)
 
     resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map,
                                struct_fields, trait_impls=trait_impls)
-    resolved = resolved.localCheckpoint()
+    resolved = resolved.localCheckpoint(storageLevel=_SER)
 
     # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
     # object as a function via cascade 1-4 (format.rs:1208-1239).  Only call
@@ -148,9 +152,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
                .withColumn("skipflag", F.lit(None).cast("string"))
     # lean=True skips strategies 0/5/6 plan-side: the base rows carry null
     # operand + rcv_*, so those equi-joins can never match — semantics are
-    # identical, but ~6 joins of plan (and their codegen stages) are saved
+    # identical, but ~6 joins of plan (and their codegen stages) are saved.
+    # Lazy checkpoint: both consumers below (member hits -> Calls family,
+    # member misses -> USES family) share one evaluation of this cascade.
     base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map,
-                               None, lean=True)
+                               None, lean=True).localCheckpoint(eager=False, storageLevel=_SER)
     member = (base_res.where(F.col("dst_file").isNotNull())
               .withColumn("dst_name", F.col("called"))   # the base object's name
               .withColumn("called", F.col("orig_called"))

@@ -158,32 +158,6 @@ def resolve_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def resolve_operands(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
-    """(function, receiver-type-name) mentions -> Class -OPERAND-> Function.
-
-    Mirrors format_function's find_class callback (format.rs:720-736):
-    Class in the same file first, else first Class globally, else DataModel
-    same-file-then-global.  One symtab join serves both type probes."""
-    m = mentions.join(symtab.withColumnRenamed("name", "dst_name"),
-                      KEY + ["dst_name"], "left")
-    c = _same_then_global(F.col("t_Class"), F.col("src_file"))
-    d = _same_then_global(F.col("t_DataModel"), F.col("src_file"))
-    pick = F.coalesce(
-        F.when(c.isNotNull(), F.struct(F.lit("Class").alias("t"),
-                                       c["file"].alias("f"), c["start"].alias("s"))),
-        F.when(d.isNotNull(), F.struct(F.lit("DataModel").alias("t"),
-                                       d["file"].alias("f"), d["start"].alias("s"))),
-    )
-    m = m.withColumn("picked", pick).where(F.col("picked").isNotNull())
-    return m.select(
-        *KEY,
-        F.lit("Operand").alias("edge_type"),
-        node_key_col(F.col("picked.t"), F.col("dst_name"), F.col("picked.f"),
-                     F.col("picked.s")).alias("src_key"),
-        node_key_col(F.lit("Function"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start")).alias("dst_key"),
-    )
-
 
 def resolve_verb_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     """Next.js verb-style handlers: Endpoint meta.handler is an HTTP verb;
@@ -207,98 +181,9 @@ def resolve_verb_handlers(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def resolve_class_new(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
-    """`new X()` -> Calls edge to the Class when exactly one Class of that
-    name exists (format.rs:1040-1046 class_call)."""
-    uniq = (symtab.where(F.col("t_Class.cnt") == 1)
-            .select(*KEY, F.col("name").alias("dst_name"),
-                    F.col("t_Class.glob").alias("c")))
-    return (mentions.join(uniq, KEY + ["dst_name"], "inner")
-            .select(
-                *KEY,
-                F.lit("Calls").alias("edge_type"),
-                node_key_col(F.col("src_type"), F.col("src_name"),
-                             F.col("src_file"), F.col("src_start")).alias("src_key"),
-                node_key_col(F.lit("Class"), F.col("dst_name"), F.col("c.file"),
-                             F.col("c.start")).alias("dst_key"),
-            ))
 
 
-def resolve_renders(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
-    """Page -> component function RENDERS edges: same-file first, then
-    first-by-key global (extra_page_finder / page stage)."""
-    m = (mentions
-         .join(_sym(symtab, "Function", "dst_name", "FN"), KEY + ["dst_name"], "left")
-         .withColumn("t", _same_then_global(F.col("FN"), F.col("src_file")))
-         .where(F.col("t").isNotNull()))
-    return m.select(
-        *KEY,
-        F.lit("Renders").alias("edge_type"),
-        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start")).alias("src_key"),
-        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("t.file"),
-                     F.col("t.start")).alias("dst_key"),
-    )
 
-
-def class_inherits(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
-    """meta.parent -> ParentOf(parent -> child) (btreemap_graph.rs:603-642)."""
-    classes = (_nodes_of(nodes, "Class")
-               .select(*KEY, "name", "file", "start",
-                       F.element_at("meta", "parent").alias("parent")))
-    parents = (symtab.where(F.col("t_Class").isNotNull())
-               .select(*KEY, F.col("name").alias("parent"),
-                       F.col("t_Class.glob").alias("p")))
-    return (classes.where(F.col("parent").isNotNull())
-            .join(parents, KEY + ["parent"], "inner")
-            .select(
-                *KEY,
-                F.lit("ParentOf").alias("edge_type"),
-                node_key_col(F.lit("Class"), F.col("parent"), F.col("p.file"),
-                             F.col("p.start")).alias("src_key"),
-                node_key_col(F.lit("Class"), F.col("name"), F.col("file"),
-                             F.col("start")).alias("dst_key"),
-            ))
-
-
-def class_includes(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
-    """meta.includes (comma list) -> Class -IMPORTS-> included module's Class
-    (btreemap_graph.rs:603-624; first class by key order)."""
-    cls = (_nodes_of(nodes, "Class")
-           .where(F.element_at("meta", "includes").isNotNull())
-           .select(*KEY, "name", "file", "start",
-                   F.explode(F.split(F.element_at("meta", "includes"), ","))
-                   .alias("dst_name"))
-           .withColumn("dst_name", F.trim("dst_name")))
-    m = (cls.join(_sym(symtab, "Class", "dst_name", "C"), KEY + ["dst_name"],
-                  "inner")
-         .where(F.col("C").isNotNull()))
-    return m.select(
-        *KEY,
-        F.lit("Imports").alias("edge_type"),
-        node_key_col(F.lit("Class"), F.col("name"), F.col("file"),
-                     F.col("start")).alias("src_key"),
-        node_key_col(F.lit("Class"), F.col("dst_name"), F.col("C.glob.file"),
-                     F.col("C.glob.start")).alias("dst_key"),
-    )
-
-
-def instance_of(nodes: DataFrame, symtab: DataFrame) -> DataFrame:
-    """Instance.data_type -> Class -> OF edge, only when the class exists
-    (btreemap_graph.rs:238-255)."""
-    by_name = (symtab.where(F.col("t_Class").isNotNull())
-               .select(*KEY, F.col("name").alias("data_type"),
-                       F.col("t_Class.glob").alias("c")))
-    inst = _nodes_of(nodes, "Instance").where(F.col("data_type").isNotNull())
-    return (inst.join(by_name, KEY + ["data_type"], "inner")
-            .select(
-                *KEY,
-                F.lit("Of").alias("edge_type"),
-                node_key_col(F.lit("Instance"), F.col("name"), F.col("file"),
-                             F.col("start")).alias("src_key"),
-                node_key_col(F.lit("Class"), F.col("data_type"), F.col("c.file"),
-                             F.col("c.start")).alias("dst_key"),
-            ))
 
 
 def function_contains_vars(ident_mentions: DataFrame, nodes: DataFrame,
@@ -328,22 +213,6 @@ def function_contains_vars(ident_mentions: DataFrame, nodes: DataFrame,
                      F.col("v_start")).alias("dst_key"),
     )
 
-
-def function_contains_datamodels(dm_mentions: DataFrame, symtab: DataFrame) -> DataFrame:
-    """Capitalized names used in a function -> Function -CONTAINS-> DataModel
-    (first DataModel of that name anywhere, format.rs:764-793)."""
-    first_dm = (symtab.where(F.col("t_DataModel").isNotNull())
-                .select(*KEY, F.col("name").alias("dst_name"),
-                        F.col("t_DataModel.glob").alias("d")))
-    return (dm_mentions.join(first_dm, KEY + ["dst_name"], "inner")
-            .select(
-                *KEY,
-                F.lit("Contains").alias("edge_type"),
-                node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                             F.col("src_start")).alias("src_key"),
-                node_key_col(F.lit("DataModel"), F.col("dst_name"), F.col("d.file"),
-                             F.col("d.start")).alias("dst_key"),
-            ))
 
 
 def import_edges(import_mentions: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -402,19 +271,100 @@ def ruby_dm_within(nodes: DataFrame) -> DataFrame:
             ))
 
 
-def test_class_calls(mentions: DataFrame, symtab: DataFrame) -> DataFrame:
-    """A Class named like a test node gets a Calls edge from the test
-    (collect_tests, parse/collect.rs:237-244; first class by key order)."""
-    m = (mentions.join(_sym(symtab, "Class", "dst_name", "C"),
-                       KEY + ["dst_name"], "inner")
-         .where(F.col("C").isNotNull()))
+
+def fused_symtab_edges(tagged: DataFrame, symtab: DataFrame) -> DataFrame:
+    """EIGHT same-file-then-global edge families resolved through ONE symtab
+    join.  `tagged` rows carry (repo, lang, kind, src_type, src_name,
+    src_file, src_start, dst_name); `kind` selects the per-family pick rule
+    and edge shape:
+
+      operand    Class|DataModel same-then-global -OPERAND-> Function
+                 (format.rs:720-736, reversed edge)
+      class_new  unique Class -> src -CALLS-> Class (format.rs:1040-1046)
+      renders    Function same-then-global -> src -RENDERS-> Function
+      test_class first Class -> src -CALLS-> Class (parse/collect.rs:237-244)
+      dm         first DataModel -> src -CONTAINS-> DataModel
+                 (format.rs:764-793)
+      parent     first Class -PARENT_OF-> src Class (btreemap_graph.rs:603-642,
+                 reversed edge)
+      includes   first Class -> src Class -IMPORTS-> Class
+                 (btreemap_graph.rs:603-624)
+      instance   first Class -> src Instance -OF-> Class
+                 (btreemap_graph.rs:238-255)
+
+    Round 2 ran these as eight separate joins; their per-family planning +
+    shuffle stages were the dominant serial fraction of the link plane
+    (the failed 0.8 scaling-efficiency target's measured cause)."""
+    m = tagged.join(symtab.withColumnRenamed("name", "dst_name"),
+                    KEY + ["dst_name"], "left")
+    k = F.col("kind")
+    C = _same_then_global(F.col("t_Class"), F.col("src_file"))
+    D = _same_then_global(F.col("t_DataModel"), F.col("src_file"))
+    FN = _same_then_global(F.col("t_Function"), F.col("src_file"))
+    cls_glob = F.col("t_Class.glob")
+    dm_glob = F.col("t_DataModel.glob")
+
+    def tgt(t, c):
+        return F.when(c.isNotNull(),
+                      F.struct(F.lit(t).alias("t"), c["file"].alias("f"),
+                               c["start"].alias("s")))
+
+    picked = (
+        F.when(k == "operand", F.coalesce(tgt("Class", C), tgt("DataModel", D)))
+        .when(k == "class_new",
+              F.when(F.col("t_Class.cnt") == 1, tgt("Class", cls_glob)))
+        .when(k == "renders", tgt("Function", FN))
+        .when(k.isin("test_class", "parent", "includes", "instance"),
+              tgt("Class", cls_glob))
+        .when(k == "dm", tgt("DataModel", dm_glob)))
+    m = m.withColumn("p", picked).where(F.col("p").isNotNull())
+
+    edge_type = (F.when(k == "operand", F.lit("Operand"))
+                 .when(k.isin("class_new", "test_class"), F.lit("Calls"))
+                 .when(k == "renders", F.lit("Renders"))
+                 .when(k == "dm", F.lit("Contains"))
+                 .when(k == "parent", F.lit("ParentOf"))
+                 .when(k == "includes", F.lit("Imports"))
+                 .otherwise(F.lit("Of")))
+    src_k = node_key_col(F.col("src_type"), F.col("src_name"),
+                         F.col("src_file"), F.col("src_start"))
+    dst_k = node_key_col(F.col("p.t"), F.col("dst_name"), F.col("p.f"),
+                         F.col("p.s"))
+    reversed_ = k.isin("operand", "parent")
     return m.select(
         *KEY,
-        F.lit("Calls").alias("edge_type"),
+        edge_type.alias("edge_type"),
+        F.when(reversed_, dst_k).otherwise(src_k).alias("src_key"),
+        F.when(reversed_, src_k).otherwise(dst_k).alias("dst_key"),
+    )
+
+
+def php_handler_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Laravel `[Controller::class, 'method']` / controller-group / resource
+    handlers: the action Function in the file whose basename is
+    {Controller}.php (handler_finder, php.rs:632-758).  Endpoints are KEPT
+    when the action does not exist — only the edge is skipped (unlike ruby's
+    admission drop)."""
+    fns = (nodes.where((F.col("node_type") == "Function")
+                       & (F.col("lang") == "php"))
+           .select(*KEY, F.col("name").alias("dst_name"),
+                   F.col("file").alias("f_file"), F.col("start").alias("f_start"),
+                   F.element_at(F.split("file", "/"), -1).alias("ctrl"),
+                   _skey("Function").alias("skey")))
+    m = mentions.select(
+        *KEY, "src_type", "src_name", "src_file", "src_start", "src_verb",
+        "dst_name", F.element_at("m_extra", "ctrl").alias("ctrl"))
+    resolved = (m.join(fns, KEY + ["dst_name", "ctrl"], "inner")
+                .groupBy(*KEY, "src_type", "src_name", "src_file", "src_start",
+                         "src_verb", "dst_name")
+                .agg(F.min_by(F.struct("f_file", "f_start"), "skey").alias("c")))
+    return resolved.select(
+        *KEY,
+        F.lit("Handler").alias("edge_type"),
         node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start")).alias("src_key"),
-        node_key_col(F.lit("Class"), F.col("dst_name"), F.col("C.glob.file"),
-                     F.col("C.glob.start")).alias("dst_key"),
+                     F.col("src_start"), F.col("src_verb")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("c.f_file"),
+                     F.col("c.f_start")).alias("dst_key"),
     )
 
 

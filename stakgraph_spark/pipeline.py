@@ -36,6 +36,21 @@ EDGE_COLS = ["src_key", "dst_key", "edge_type", "operand", "confidence",
              "strategy", "repo", "lang"]
 
 
+from pyspark.storagelevel import StorageLevel
+
+# serialized (+lz4 when spark.rdd.compress=true) checkpoint blocks: the
+# deserialized default kept multi-GB object graphs on the heap, and the GC
+# pressure throttled exactly the high-parallelism runs the scaling target
+# measures
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
+def _ckpt(df, eager: bool = True):
+    return df.localCheckpoint(eager=eager, storageLevel=_CKPT_LEVEL)
+
+
+
+
 @dataclass
 class GraphResult:
     nodes: DataFrame
@@ -218,7 +233,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # UDF per consumer.  On a cluster this becomes a checkpoint to the
     # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
     if raw is None:
-        raw = extract_raw(src.where(F.col("skipped").isNull())).localCheckpoint()
+        raw = _ckpt(extract_raw(src.where(F.col("skipped").isNull())))
 
     ex_nodes = raw.where(F.col("rec") == "node").select(
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
@@ -266,7 +281,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     nodes = _key(nodes)
     # BTreeMap insert = last-write-wins on canonical key; order-insensitive
     # here (duplicate keys are re-extractions of the same entity)
-    nodes_full = nodes.dropDuplicates(["node_key"]).localCheckpoint()
+    nodes_full = _ckpt(nodes.dropDuplicates(["node_key"]))
 
     # SLIM link-plane table: bodies are ~90% of node bytes and every link /
     # prune family re-reads this checkpoint — at bench scale those repeated
@@ -278,13 +293,13 @@ def build_graph(spark: SparkSession, source: DataFrame,
     keep_body = (F.col("node_type").isin("Import", "IntegrationTest", "E2eTest")
                  | ((F.col("node_type") == "Function")
                     & F.col("lang").isin("typescript", "react")))
-    nodes = (nodes_full
-             .withColumn("has_body",
-                         F.length(F.coalesce("body", F.lit(""))) > 0)
-             .withColumn("body",
-                         F.when(keep_body, F.col("body")).otherwise(F.lit("")))
-             .drop("docs", "hash")
-             .localCheckpoint())
+    nodes = _ckpt(nodes_full
+                  .withColumn("has_body",
+                              F.length(F.coalesce("body", F.lit(""))) > 0)
+                  .withColumn("body",
+                              F.when(keep_body, F.col("body"))
+                              .otherwise(F.lit("")))
+                  .drop("docs", "hash"))
     stage("nodes_assembled")
 
     # File -CONTAINS-> extracted node (add_node_with_parent semantics)
@@ -371,7 +386,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # (3 aggregation stages instead of ~12 per-family ones); eager: every
     # family job reads the materialized RDD instead of recomputing
     fut_symtab = pool.submit(
-        lambda: simple_link.build_symtab(nodes).localCheckpoint())
+        lambda: _ckpt(simple_link.build_symtab(nodes)))
     symtab = fut_symtab.result()
 
     resolved_all, unresolved_calls = fut_resolve.result()
@@ -461,39 +476,61 @@ def build_graph(spark: SparkSession, source: DataFrame,
                              F.col("body").alias("import_body")))
     var_edges = simple_link.function_contains_vars(
         explode_set("ident_set", "Var"), nodes, import_bodies)
-    dm_edges = simple_link.function_contains_datamodels(
-        explode_set("dm_set", "DataModel"), symtab)
 
     import_edge_m = mention.where(F.col("m_kind") == "import_edge").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name", "dst_file")
     imp_edges = simple_link.import_edges(import_edge_m, nodes)
 
-    operand_m = mention.where(F.col("m_kind") == "operand_cls").select(
-        "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
-    operand_edges = simple_link.resolve_operands(operand_m, symtab)
+    # EIGHT same-file-then-global families ride ONE symtab join (the fused
+    # plan replaces eight per-family join/planning passes — their fixed cost
+    # was the dominant serial fraction of the link plane at round 2)
+    M_COLS = ["repo", "lang", "kind", "src_type", "src_name", "src_file",
+              "src_start", "dst_name"]
 
-    class_new_m = (mention.where((F.col("m_kind") == "call")
-                                 & (F.element_at("m_extra", "class_new") == "1"))
-                   .select("repo", "lang", "src_type", "src_name", "src_file",
-                           "src_start", "dst_name"))
-    class_new_edges = simple_link.resolve_class_new(class_new_m, symtab)
+    def tag(df, kind):
+        return df.withColumn("kind", F.lit(kind)).select(*M_COLS)
 
-    renders_m = mention.where(F.col("m_kind") == "renders").select(
-        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "dst_name")
-    renders_edges = simple_link.resolve_renders(renders_m, symtab)
+    operand_m = tag(mention.where(F.col("m_kind") == "operand_cls")
+                    .withColumn("src_type", F.lit("Function")), "operand")
+    class_new_m = tag(
+        mention.where((F.col("m_kind") == "call")
+                      & (F.element_at("m_extra", "class_new") == "1")),
+        "class_new")
+    renders_m = tag(mention.where(F.col("m_kind") == "renders"), "renders")
+    tc_m = tag(mention.where(F.col("m_kind") == "test_class"), "test_class")
+    dm_m = tag(explode_set("dm_set", "DataModel"), "dm")
+    cls_nodes = nodes.where(F.col("node_type") == "Class")
 
-    tc_m = mention.where(F.col("m_kind") == "test_class").select(
-        "repo", "lang", "src_type", "src_name", "src_file", "src_start",
-        "dst_name")
-    test_class_edges = simple_link.test_class_calls(tc_m, symtab)
+    def node_m(df, src_type, dst_col, kind):
+        return tag(df.select(
+            "repo", "lang", F.lit(src_type).alias("src_type"),
+            F.col("name").alias("src_name"), F.col("file").alias("src_file"),
+            F.col("start").alias("src_start"), dst_col.alias("dst_name")),
+            kind)
+
+    parent_m = node_m(
+        cls_nodes.where(F.element_at("meta", "parent").isNotNull()),
+        "Class", F.element_at("meta", "parent"), "parent")
+    includes_m = node_m(
+        cls_nodes.where(F.element_at("meta", "includes").isNotNull())
+        .withColumn("inc", F.explode(
+            F.split(F.element_at("meta", "includes"), ","))),
+        "Class", F.trim("inc"), "includes")
+    instance_m = node_m(
+        nodes.where((F.col("node_type") == "Instance")
+                    & F.col("data_type").isNotNull()),
+        "Instance", F.col("data_type"), "instance")
+    fused_in = operand_m
+    for t in (class_new_m, renders_m, tc_m, dm_m, parent_m, includes_m,
+              instance_m):
+        fused_in = fused_in.unionByName(t)
+    fused_edges = simple_link.fused_symtab_edges(fused_in, symtab)
     ruby_dm_edges = simple_link.ruby_dm_within(nodes)
 
     uses_edges = simple_link.resolve_uses(
         unresolved_calls.where(F.col("mk") == "call"), imports_map, nodes)
-    parent_edges = simple_link.class_inherits(nodes, symtab)
-    includes_edges = simple_link.class_includes(nodes, symtab)
-    of_edges = simple_link.instance_of(nodes_no_badinst, symtab)
+    php_handler = simple_link.php_handler_edges(
+        mention.where(F.col("m_kind") == "php_handler"), nodes)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
@@ -506,20 +543,28 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # scheduler-latency serial fraction that broke the scaling target
     fams = [direct_edges, file_contains, call_edges, impl_edges,
             handler_edges, ruby_handler_edges, verb_handler_edges, var_edges,
-            dm_edges, imp_edges, operand_edges, class_new_edges,
-            renders_edges, parent_edges, of_edges, api_edges, itest_edges,
-            e2e_edges, test_class_edges, ruby_dm_edges, e2e_testid_edges,
-            includes_edges, uses_edges, fp_edges]
-    futs = [pool.submit(lambda d=d: _norm_edges(d).localCheckpoint())
-            for d in fams]
-    checked = [f.result() for f in futs]
-    edges = checked[0]
-    for e in checked[1:]:
-        edges = edges.unionByName(e)
+            imp_edges, fused_edges, api_edges, itest_edges,
+            e2e_edges, ruby_dm_edges, e2e_testid_edges,
+            uses_edges, php_handler, fp_edges]
+    # ONE union job materializes every family: measured 36k-file A/B —
+    # per-family concurrent checkpoint jobs cost 161 s vs 116 s for the
+    # single union (24 extra job/checkpoint overheads outweigh the overlap;
+    # Spark already runs the union's independent branches' stages in
+    # parallel).  STAKGRAPH_CONC_LINK opts back into the experiment.
+    if os.environ.get("STAKGRAPH_CONC_LINK"):
+        futs = [pool.submit(lambda d=d: _norm_edges(d).localCheckpoint())
+                for d in fams]
+        checked = [f.result() for f in futs]
+        edges = checked[0]
+        for e in checked[1:]:
+            edges = edges.unionByName(e)
+    else:
+        edges = _norm_edges(fams[0])
+        for e in fams[1:]:
+            edges = edges.unionByName(_norm_edges(e))
     # BTreeSet edge dedup (btreemap_graph.rs:51-55) over the materialized
     # family RDDs — one shuffle, shallow plan
-    edges = edges.dropDuplicates(["src_key", "dst_key", "edge_type"]) \
-                 .localCheckpoint()
+    edges = _ckpt(edges.dropDuplicates(["src_key", "dst_key", "edge_type"]))
     stage("edges_linked")
     nodes = nodes_no_badinst
 

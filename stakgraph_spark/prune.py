@@ -7,6 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+_SER = StorageLevel.MEMORY_AND_DISK  # serialized blocks (deser default thrashes GC)
 
 # per-language clean_graph directives (dispatch ast/src/builder/stages.rs:628-640)
 #   dedup:   remove <remove_type> when a <keep_type> with same (name,file) has
@@ -130,7 +133,7 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
     # anti-join over the call cascade, and prune_orphan + the directives read
     # slim ~8 times — uncheckpointed, each read replays the cascade
     slim = nodes.select("node_key", "node_type", "repo", "lang", "name",
-                        "file", "start", "end", "meta").localCheckpoint()
+                        "file", "start", "end", "meta").localCheckpoint(storageLevel=_SER)
 
     removed = prune_orphan_functions(slim, edges)
     slim = slim.join(removed, "node_key", "left_anti")
@@ -150,7 +153,7 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
             elif d[0] == "filter":
                 slim = filter_parents_without_children(slim, lang, d[1], d[2], d[3])
 
-    keys = slim.select("node_key").localCheckpoint()
+    keys = slim.select("node_key").localCheckpoint(storageLevel=_SER)
     nodes = nodes.join(keys, "node_key", "leftsemi")
 
     # drop edges whose endpoints no longer exist (dangling after prunes);
@@ -161,7 +164,8 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
              .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
     if pool is not None:
         # the two final materializations are independent — overlap them
-        fn = pool.submit(nodes.localCheckpoint)
-        fe = pool.submit(edges.localCheckpoint)
+        fn = pool.submit(lambda: nodes.localCheckpoint(storageLevel=_SER))
+        fe = pool.submit(lambda: edges.localCheckpoint(storageLevel=_SER))
         return fn.result(), fe.result()
-    return nodes.localCheckpoint(), edges.localCheckpoint()
+    return (nodes.localCheckpoint(storageLevel=_SER),
+            edges.localCheckpoint(storageLevel=_SER))

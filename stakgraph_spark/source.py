@@ -39,6 +39,7 @@ FIXTURES = {
     "kotlin": "kotlin",
     "swift/LegacyApp": "swift",
     "swift/ModernApp": "swift",
+    "php": "php",
 }
 
 
@@ -92,7 +93,7 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
 # these so files/sec counts only files that are actually parsed
 IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
                         if v in ("python", "go", "rust", "typescript", "react",
-                                 "java", "ruby", "kotlin", "swift")}
+                                 "java", "ruby", "kotlin", "swift", "php")}
 
 
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:
