@@ -3,15 +3,16 @@
 entry(spark)  — flagship: per-language document stats over sf0.001 (exercises
                 scan -> transform -> aggregate through the engine's catalog).
 queries()     — one callable per implemented operator (stakgraph_spark.textops
-                catalog, 22 entries: canonical keys, sha256 invariant,
-                exact/MinHash-LSH/SimHash dedup, fp-keyed n-gram Jaccard,
-                lang-ID/quality/token text analysis, fingerprinting,
-                brute-force ANN + LSH-bucketed ANN, the relational shapes the
-                KG linking plane is built from, and four KG link-plane
-                operator shapes (priority cascade, masked-path
-                request/endpoint join, longest-prefix rewrite,
-                same-then-global symbol resolution) oracle-checked on the
-                driver's testdata).
+                catalog, 23 entries: canonical keys, sha256 invariant,
+                exact/MinHash-LSH/SimHash dedup (pairs over exact-dedup
+                representatives with a salted band join), fp-keyed n-gram
+                Jaccard, lang-ID/quality/token text analysis,
+                fingerprinting, brute-force ANN + LSH-bucketed ANN, the
+                relational shapes the KG linking plane is built from, and
+                five KG link-plane operator shapes (priority cascade,
+                masked-path request/endpoint join, longest-prefix rewrite,
+                same-then-global symbol resolution, library USES join)
+                oracle-checked on the driver's testdata).
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query.
 
 The KG-construction pipeline itself (stakgraph_spark.pipeline.build_graph) is

@@ -164,25 +164,26 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
             "stages": best["stages"]}
 
 
+def _hw_burn(n):  # module-level: must be picklable for mp.Pool
+    import hashlib
+    h = hashlib.md5()
+    s = b"x" * 4096
+    for _ in range(n):
+        h.update(s)
+
+
 def hw_calibration(levels: tuple[int, int]) -> dict:
     """Measured pure-CPU scaling of THIS machine between the two worker
     counts (multiprocessing busy-loop).  The container's vCPUs are
     co-tenant-throttled, so N->4N rarely yields 4x even for embarrassingly
     parallel work — the pipeline's efficiency is reported raw AND relative
     to this ceiling."""
-    import hashlib
     import multiprocessing as mp
-
-    def burn(n):
-        h = hashlib.md5()
-        s = b"x" * 4096
-        for _ in range(n):
-            h.update(s)
 
     def rate(workers, n=150_000):
         with mp.Pool(workers) as p:
             t0 = time.time()
-            p.map(burn, [n] * workers)
+            p.map(_hw_burn, [n] * workers)
             return workers * n / (time.time() - t0)
 
     r1 = max(rate(levels[0]) for _ in range(2))
@@ -194,6 +195,10 @@ def hw_calibration(levels: tuple[int, int]) -> dict:
 
 def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
                 reps: int = 2) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    # calibrate FIRST and persist every leg as it lands: a late failure must
+    # never lose an hour-long measurement again
+    hw0 = hw_calibration(levels)
     results = []
     for cpus in levels:
         out = subprocess.run(
@@ -202,10 +207,12 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
             capture_output=True, text=True, timeout=14000)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))
+        with open(f"BENCH/leg_local{cpus}_c{copies}.json", "w") as f:
+            f.write(line)
     rn, r4n = results
     n1, n2 = levels
     eff = (r4n["files_per_sec"] / rn["files_per_sec"]) / (n2 / n1)
-    hw = hw_calibration(levels)
+    hw = hw0
     rel = round(eff / hw["hw_ceiling"], 3) if hw["hw_ceiling"] else None
     os.makedirs("BENCH", exist_ok=True)
     rep_rows = "\n".join(

@@ -46,6 +46,18 @@ def get_extractor(lang: str):
     if lang == "php":
         from .php_lang import extract_php
         return extract_php
+    if lang == "csharp":
+        from .csharp_lang import extract_csharp
+        return extract_csharp
+    if lang == "c":
+        from .c_lang import extract_c
+        return extract_c
+    if lang == "cpp":
+        from .cpp_lang import extract_cpp
+        return extract_cpp
+    if lang == "angular":
+        from .angular_lang import extract_angular
+        return extract_angular
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor

@@ -106,6 +106,10 @@ DOC_TYPES: dict[str, frozenset] = {
     "kotlin": frozenset({"Function"}),  # kotlin.rs:144-153 (comment_query only)
     "swift": frozenset({"Function"}),   # swift.rs:86-95 (comment_query only)
     "php": frozenset({"Function"}),     # php.rs:148-154 (comment_query only)
+    "csharp": frozenset({"Function"}),  # csharp.rs:165-171
+    "c": frozenset({"Function", "Class", "DataModel"}),  # c.rs:212-222
+    "cpp": frozenset({"Function"}),     # cpp.rs comment_query
+    "angular": frozenset({"Function"}),  # angular.rs:190-192
 }
 
 # (line-comment prefixes, has C-style block comments)
@@ -120,6 +124,10 @@ COMMENT_STYLE: dict[str, tuple[tuple[str, ...], bool]] = {
     "kotlin": (("//",), True),
     "swift": (("//",), True),
     "php": (("//", "#"), True),
+    "csharp": (("//",), True),
+    "c": (("//",), True),
+    "cpp": (("//",), True),
+    "angular": (("//",), True),
 }
 
 

@@ -309,10 +309,18 @@ def extract_php(path: str, content: str) -> Extraction:
                              meta={"verb": verb, "handler": rest[:40] or "?"})
             handled_rows.add(i)
 
-    # Symfony #[Route('/path')] attribute above a method
+    # Symfony #[Route('/path')] attribute above a method; a class-level
+    # Route attribute is an endpoint-group PARENT, not an endpoint
+    # (find_endpoint_parents php.rs:555-597)
     for i in range(n):
         m = _SYMFONY_ROUTE_RE.match(nclines[i])
         if not m:
+            continue
+        r = i + 1
+        while r < n and (nclines[r].strip().startswith("#[")
+                         or not nclines[r].strip()):
+            r += 1
+        if r < n and _CLASS_RE.match(clines[r]):
             continue
         tgt = None
         for fname, fs, fe in funcs:

@@ -368,6 +368,32 @@ def php_handler_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def angular_renders(mentions: DataFrame) -> DataFrame:
+    """Angular html pages render component templates through the component's
+    selector: an html file using `<app-people-list>` renders the template of
+    the @Component whose selector is `app-people-list`
+    (angular template resolution; annotations assert html -RENDERS-> html).
+
+    ng_render mentions carry (html Page ref, selector); ng_component
+    mentions carry (component Page ref, selector, resolved template path)."""
+    rend = (mentions.where(F.col("m_kind") == "ng_render")
+            .select(*KEY, "src_name", "src_file", "src_start",
+                    F.col("dst_name").alias("selector")))
+    comp = (mentions.where(F.col("m_kind") == "ng_component")
+            .select(*KEY, F.col("dst_name").alias("selector"),
+                    F.col("dst_file").alias("template")))
+    j = rend.join(comp, KEY + ["selector"], "inner")
+    return j.select(
+        *KEY,
+        F.lit("Renders").alias("edge_type"),
+        node_key_col(F.lit("Page"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Page"),
+                     F.element_at(F.split("template", "/"), -1),
+                     F.col("template"), F.lit(0)).alias("dst_key"),
+    )
+
+
 def resolve_uses(unresolved: DataFrame, imports_map: DataFrame,
                  nodes: DataFrame) -> DataFrame:
     """Cascade-unresolved call mentions that target an IMPORTED LIBRARY ->

@@ -364,8 +364,11 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     # interface dispatch (java): receiver typed as an interface resolves to
     # an implementing class's method (java_resolver.rs:239-259)
+    # java + csharp: receiver typed as an interface resolves to an
+    # implementing class's method (java_resolver.rs:239-259,
+    # cs_resolver.rs:215-262)
     trait_impls = (mention.where((F.col("m_kind") == "implements")
-                                 & (F.col("lang") == "java"))
+                                 & F.col("lang").isin("java", "csharp"))
                    .selectExpr("repo", "lang", "src_name as cls",
                                "dst_name as trait").distinct())
 
@@ -409,7 +412,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # The anti-join is applied ONLY where dropped instances matter
     # (instance_of input + the final node set) — reassigning `nodes` here
     # used to replay the anti-join inside every downstream family's plan.
-    INSTANCE_FILTER_LANGS = ["java"]
+    INSTANCE_FILTER_LANGS = ["java", "c"]
     class_names = (symtab.where(F.col("t_Class").isNotNull())
                    .select("repo", "lang", F.col("name").alias("data_type")))
     inst_drop = (nodes.where((F.col("node_type") == "Instance")
@@ -531,6 +534,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
         unresolved_calls.where(F.col("mk") == "call"), imports_map, nodes)
     php_handler = simple_link.php_handler_edges(
         mention.where(F.col("m_kind") == "php_handler"), nodes)
+    ng_renders = simple_link.angular_renders(mention)
     api_edges = api_link.link_requests_to_endpoints(nodes)
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
@@ -545,7 +549,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
             handler_edges, ruby_handler_edges, verb_handler_edges, var_edges,
             imp_edges, fused_edges, api_edges, itest_edges,
             e2e_edges, ruby_dm_edges, e2e_testid_edges,
-            uses_edges, php_handler, fp_edges]
+            uses_edges, php_handler, ng_renders, fp_edges]
     # ONE union job materializes every family: measured 36k-file A/B —
     # per-family concurrent checkpoint jobs cost 161 s vs 116 s for the
     # single union (24 extra job/checkpoint overheads outweigh the overlap;

@@ -40,6 +40,11 @@ FIXTURES = {
     "swift/LegacyApp": "swift",
     "swift/ModernApp": "swift",
     "php": "php",
+    "csharp": "csharp",
+    "c": "c",
+    "cpp/web_api": "cpp",
+    "cpp/cuda": "cpp",
+    "angular": "angular",
 }
 
 
@@ -93,7 +98,8 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
 # these so files/sec counts only files that are actually parsed
 IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
                         if v in ("python", "go", "rust", "typescript", "react",
-                                 "java", "ruby", "kotlin", "swift", "php")}
+                                 "java", "ruby", "kotlin", "swift", "php",
+                                 "csharp", "c", "cpp", "angular")}
 
 
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:

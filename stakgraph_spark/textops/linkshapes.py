@@ -253,9 +253,58 @@ LEFT JOIN glob_tab g ON d.lang = g.lang
 """
 
 
+# --------------------------------------------------------------------------
+# 5. library USES join (link/simple.py::resolve_uses shape)
+# --------------------------------------------------------------------------
+
+def q_link_library_uses(spark, sf_dir):
+    """Unresolved references matched to a dependency manifest through an
+    import map — resolve_uses' exact join shape: mention base -> per-scope
+    import binding -> manifest entry by version-stripped last path segment.
+    Here: events are the 'call mentions' (scope = user), the import map is
+    each user's distinct event_types, and the manifest declares
+    'vendor/<event_type>==1.0' libraries."""
+    e = _events(spark, sf_dir)
+    m = e.select("event_id", "user_id", F.col("event_type").alias("base"))
+    imp = (e.select("user_id", F.col("event_type").alias("base")).distinct()
+           .withColumn("module", F.concat(F.lit("vendor/"), F.col("base"))))
+    libs = (e.select("event_type").distinct()
+            .select(F.concat(F.lit("vendor/"), F.col("event_type"),
+                             F.lit("==1.0")).alias("lib_name")))
+    lib_base = F.regexp_replace(F.col("lib_name"), r"[=<>!~\[@].*$", "")
+    libs = libs.withColumn(
+        "mod_last", F.element_at(F.split(lib_base, "/"), -1))
+    hits = (m.join(imp, ["user_id", "base"], "inner")
+            .join(libs, F.element_at(F.split(F.col("module"), "/"), -1)
+                  == F.col("mod_last"), "inner")
+            .groupBy("event_id")
+            .agg(F.min("lib_name").alias("uses_lib")))
+    return hits
+
+
+SQL_LINK_LIBRARY_USES = """
+WITH imp AS (
+  SELECT DISTINCT user_id, event_type AS base,
+         'vendor/' || event_type AS module
+  FROM events),
+libs AS (
+  SELECT 'vendor/' || event_type || '==1.0' AS lib_name,
+         list_extract(string_split(
+           regexp_replace('vendor/' || event_type || '==1.0',
+                          '[=<>!~\\[@].*$', ''), '/'), -1) AS mod_last
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT e.event_id, min(l.lib_name) AS uses_lib
+FROM events e
+JOIN imp ON e.user_id = imp.user_id AND e.event_type = imp.base
+JOIN libs l ON list_extract(string_split(imp.module, '/'), -1) = l.mod_last
+GROUP BY e.event_id
+"""
+
+
 LINK_CATALOG: dict[str, tuple] = {
     "link_cascade_resolve": (q_link_cascade_resolve, SQL_LINK_CASCADE),
     "link_path_match": (q_link_path_match, SQL_LINK_PATH_MATCH),
     "link_prefix_rewrite": (q_link_prefix_rewrite, SQL_LINK_PREFIX_REWRITE),
     "link_same_then_global": (q_link_same_then_global, SQL_LINK_SAME_THEN_GLOBAL),
+    "link_library_uses": (q_link_library_uses, SQL_LINK_LIBRARY_USES),
 }

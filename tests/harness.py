@@ -171,6 +171,8 @@ def fixture_files(fixture_dir: str, lang: str):
             ext = fn.rsplit(".", 1)[-1] if "." in fn else ""
             if ext not in spec.exts:
                 continue
+            if any(fn.endswith(sfe) for sfe in spec.skip_file_ends):
+                continue  # same exclusion the source walker applies
             full = os.path.join(dirpath, fn)
             try:
                 src = open(full, encoding="utf-8").read()
