@@ -355,6 +355,10 @@ def extract_csharp(path: str, content: str) -> Extraction:
         if t is not None and t[0] in ("class", "record", "struct") \
                 and has_body:
             meta["operand"] = t[1]
+        elif t is not None and t[0] == "interface":
+            # interface-own methods back the resolver's no-implementation
+            # fallback (cs_resolver.rs:254-260)
+            meta["trait_operand"] = t[1]
         if is_test:
             tt = classify_test(fname, path, body(fs, fe))
             kind = {"E2eTest": "e2e", "IntegrationTest": "integration"}.get(

@@ -55,6 +55,7 @@ def _fn_base(functions: DataFrame) -> DataFrame:
         F.element_at(F.col("meta"), "operand").alias("m_operand"),
         F.element_at(F.col("meta"), "nested_in").alias("m_nested_in"),
         F.element_at(F.col("meta"), "ret_type").alias("m_ret"),
+        F.element_at(F.col("meta"), "trait_operand").alias("m_trait"),
         node_key_col(F.lit("Function"), F.col("name"), F.col("file"),
                      F.col("start")).alias("skey"),
     )
@@ -191,10 +192,13 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                    .groupBy(*KEY, "name", "m_operand")
                    .agg(F.min_by(_cand(), "skey").alias("mc")))
         if trait_impls is not None:
-            # interface dispatch (java_resolver.rs:239-259): a receiver typed
-            # as an interface resolves to an implementing class's method —
-            # register implementors' methods under the trait name too; direct
-            # class entries win on conflict (min_by priority)
+            # interface dispatch (java_resolver.rs:239-259,
+            # cs_resolver.rs:215-262): a receiver typed as an interface
+            # resolves to an implementing class's method — register
+            # implementors' methods under the trait name too; direct class
+            # entries win on conflict, and the interface's OWN (bodyless)
+            # method is the last-resort fallback when no implementation
+            # exists in the graph (cs_resolver.rs:254-260)
             tm = (methods.join(
                       trait_impls.selectExpr("repo", "lang",
                                              "cls as m_operand", "trait"),
@@ -202,8 +206,12 @@ def _cascade_1_to_6(mentions: DataFrame, fns: DataFrame, instances: DataFrame,
                   .drop("m_operand")
                   .withColumnRenamed("trait", "m_operand")
                   .select(*KEY, "name", "m_operand", "mc"))
+            towns = (fns.where(F.col("m_trait").isNotNull())
+                     .groupBy(*KEY, "name", F.col("m_trait").alias("m_operand"))
+                     .agg(F.min_by(_cand(), "skey").alias("mc")))
             methods = (methods.withColumn("pri", F.lit(0))
                        .unionByName(tm.withColumn("pri", F.lit(1)))
+                       .unionByName(towns.withColumn("pri", F.lit(2)))
                        .groupBy(*KEY, "name", "m_operand")
                        .agg(F.min_by("mc", F.struct("pri", "mc")).alias("mc")))
         m = (m.join(methods.withColumnRenamed("name", "called")
