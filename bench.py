@@ -33,7 +33,8 @@ COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
 BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
                  "quality_score", "ann_best_neighbor", "ann_lsh_best",
                  "ngram_jaccard", "link_cascade_resolve", "link_path_match",
-                 "pricing_summary", "top_nation_revenue", "event_sessions"]
+                 "link_library_uses", "pricing_summary", "top_nation_revenue",
+                 "event_sessions"]
 
 
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
