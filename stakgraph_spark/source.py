@@ -138,6 +138,98 @@ def replicate_rows(rows: list[dict], copies: int) -> list[dict]:
     return out
 
 
+# languages participating in content-based detection (PROGRAMMING_LANGUAGES,
+# lsp/src/language.rs; "react" is a typescript presentation alias and
+# bash/toml are manifest-parsing helpers — excluded like the reference)
+DETECT_LANGS = ["rust", "go", "typescript", "python", "ruby", "kotlin",
+                "swift", "java", "svelte", "angular", "c", "cpp", "php",
+                "csharp"]
+# required indicator files (language.rs:108-114) and overrides (:99-105)
+_INDICATORS = {"svelte": ("svelte.config.js", "svelte.config.ts"),
+               "angular": ("angular.json",)}
+_OVERRIDES = {"svelte": ("typescript",), "angular": ("typescript",)}
+
+
+def detect_languages(src: DataFrame) -> DataFrame:
+    """Content-based multi-language detection over a (repo, path) table —
+    the reference's new_multi_detect re-expressed as per-repo aggregations
+    (repo.rs:368-515):
+
+    * a language is detected in a repo when one of its package files exists
+      (or, for package-less languages, any file with its extensions) AND its
+      required indicator files are present
+    * svelte/angular detection OVERRIDES typescript (language.rs:99-105)
+    * repos with no detection fall back to extension presence
+    * each detected language claims every file matching its extensions —
+      a file can belong to several language slices, exactly like the
+      reference's one-Repo-per-language build
+
+    Returns (repo, path, lang) — the corrected source assignment for tables
+    whose `lang` column is missing or untrustworthy."""
+    from pyspark.sql import functions as F
+
+    base = src.select(
+        "repo", "path",
+        F.element_at(F.split("path", "/"), -1).alias("fname")).withColumn(
+        "ext", F.element_at(F.split("fname", "\\."), -1))
+
+    per_lang = []
+    for lang in DETECT_LANGS:
+        spec = LANGS[lang]
+        exts = list(spec.exts)
+        pkgs = [p for p in spec.pkg_files if not p.startswith(".")]
+        pkg_sfx = [p for p in spec.pkg_files if p.startswith(".")]
+        has_ext = F.col("ext").isin(exts)
+        if spec.pkg_files:
+            is_pkg = F.col("fname").isin(pkgs)
+            for s in pkg_sfx:
+                is_pkg = is_pkg | F.col("fname").endswith(s)
+        else:
+            is_pkg = has_ext
+        ind = _INDICATORS.get(lang)
+        has_ind = (F.max(F.when(F.col("fname").isin(list(ind)), 1)
+                         .otherwise(0)) == 1) if ind else F.lit(True)
+        agg = (base.groupBy("repo")
+               .agg((F.max(F.when(is_pkg, 1).otherwise(0)) == 1).alias("pkg"),
+                    (F.max(F.when(has_ext, 1).otherwise(0)) == 1).alias("src_"),
+                    has_ind.alias("ind") if ind else F.lit(True).alias("ind"))
+               .withColumn("lang", F.lit(lang))
+               .withColumn("detected", F.col("pkg") & F.col("ind"))
+               .withColumn("fallback", F.col("src_") & F.col("ind"))
+               .select("repo", "lang", "detected", "fallback"))
+        per_lang.append(agg)
+    det = per_lang[0]
+    for a in per_lang[1:]:
+        det = det.unionByName(a)
+
+    # overrides: an overriding language's detection removes the overridden
+    overriding = [(o, t) for o, ts in _OVERRIDES.items() for t in ts]
+    ov = (det.where(F.col("detected")
+                    & F.col("lang").isin([o for o, _ in overriding]))
+          .select("repo", F.col("lang").alias("ov_lang")))
+    ov_map = F.create_map(*[x for o, t in overriding
+                            for x in (F.lit(o), F.lit(t))])
+    dropped = ov.select("repo", ov_map[F.col("ov_lang")].alias("lang"))
+    picked = (det.where("detected")
+              .join(dropped, ["repo", "lang"], "left_anti")
+              .select("repo", "lang"))
+    # fallback for repos with zero detections
+    none_det = (det.groupBy("repo")
+                .agg(F.max(F.col("detected").cast("int")).alias("any"))
+                .where("any = 0").select("repo"))
+    fb = (det.where("fallback").join(none_det, "repo", "leftsemi")
+          .join(dropped, ["repo", "lang"], "left_anti")
+          .select("repo", "lang"))
+    langs = picked.unionByName(fb).distinct()
+
+    # every detected language claims its extension-matching files
+    ext_rows = [(lang, e) for lang in DETECT_LANGS for e in LANGS[lang].exts]
+    ext_map = src.sparkSession.createDataFrame(ext_rows, ["lang", "ext"])
+    return (base.join(ext_map, "ext")
+            .join(langs, ["repo", "lang"], "leftsemi")
+            .select("repo", "path", "lang"))
+
+
 def with_skip_flags(df: DataFrame) -> DataFrame:
     """Flag rows the parser must not touch (reference core.rs:298-364):
     >500 KB -> skipped=too_large; unreadable/binary -> skipped=unreadable."""
