@@ -46,6 +46,51 @@ def find_resource_nodes(nodes: DataFrame, verb: str, path: str,
             .where(F.upper(F.element_at("meta", "verb")) == verb.upper()))
 
 
+def coverage_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-language test-coverage tiers (lang/graphs/coverage/*.rs):
+
+      unit        targets = non-empty Functions, covered by
+                  UnitTest -CALLS-> Function edges
+      integration same targets, covered by IntegrationTest -CALLS-> Function
+      e2e         targets = Endpoints, covered by E2eTest -CALLS-> Endpoint
+
+    Returns (lang, tier, total_tests, total_targets, covered, pct).  The
+    reference additionally subtracts Mock nodes from scope; its non-LSP
+    builder never produces Mocks, so the term is identically zero here too."""
+    calls = edges.where(F.col("edge_type") == "Calls")
+
+    def tier(name, test_type, target_type, target_flt=None):
+        targets = nodes.where(F.col("node_type") == target_type)
+        if target_flt is not None:
+            targets = targets.where(target_flt)
+        tests = (nodes.where(F.col("node_type") == test_type)
+                 .groupBy("lang").agg(F.count("*").alias("total_tests")))
+        t_keys = targets.select("lang", "node_key")
+        test_keys = nodes.where(F.col("node_type") == test_type) \
+            .select(F.col("node_key").alias("src_key"))
+        covered = (calls.join(test_keys, "src_key", "leftsemi")
+                   .select(F.col("dst_key").alias("node_key")).distinct()
+                   .join(t_keys, "node_key", "leftsemi"))
+        tot = t_keys.groupBy("lang").agg(F.count("*").alias("total_targets"))
+        cov = (t_keys.join(covered.select("node_key"), "node_key", "leftsemi")
+               .groupBy("lang").agg(F.count("*").alias("covered")))
+        return (tot.join(cov, "lang", "left").join(tests, "lang", "left")
+                .select("lang", F.lit(name).alias("tier"),
+                        F.coalesce("total_tests", F.lit(0)).alias("total_tests"),
+                        "total_targets",
+                        F.coalesce("covered", F.lit(0)).alias("covered"))
+                .withColumn("pct", F.round(
+                    F.col("covered") * 100.0
+                    / F.greatest(F.col("total_targets"), F.lit(1)), 2)))
+
+    nonempty = (F.length(F.coalesce("body", F.lit(""))) > 0) \
+        if "body" in nodes.columns else F.lit(True)
+    return (tier("unit", "UnitTest", "Function", nonempty)
+            .unionByName(tier("integration", "IntegrationTest", "Function",
+                              nonempty))
+            .unionByName(tier("e2e", "E2eTest", "Endpoint")))
+
+
 def handlers_for_endpoints(nodes: DataFrame, edges: DataFrame,
                            endpoints: DataFrame) -> DataFrame:
     """Function nodes reached by HANDLER edges from the given endpoints."""
