@@ -189,7 +189,10 @@ def hw_calibration(levels: tuple[int, int]) -> dict:
 
     r1 = max(rate(levels[0]) for _ in range(2))
     r2 = max(rate(levels[1]) for _ in range(2))
-    return {"rate_n": r1, "rate_4n": r2,
+    # keys embed the actual worker counts so the persisted artifact stays
+    # self-describing for arbitrary (lo, hi) level pairs, not just 1:4
+    return {f"rate_{levels[0]}w": r1, f"rate_{levels[1]}w": r2,
+            "levels": list(levels),
             "hw_ratio": round(r2 / r1, 3),
             "hw_ceiling": round((r2 / r1) / (levels[1] / levels[0]), 3)}
 

@@ -87,6 +87,16 @@ def _span_end(clines: list[str], row: int) -> int:
         if clines[j].rstrip().endswith(")") or clines[j].rstrip().endswith(";") \
                 or (j > row and not clines[j].strip()):
             if _paren_balanced(clines, row, j):
+                # Allman style: the body's '{' may sit alone below the
+                # header (`class Person(val name: String)` + next-line '{')
+                # — peek past blank lines and fall through to brace
+                # counting instead of truncating the span to the header
+                k = j + 1
+                while k < len(clines) and not clines[k].strip():
+                    k += 1
+                if k < len(clines) and clines[k].lstrip().startswith("{"):
+                    j = k
+                    break
                 return j
         j += 1
     if j >= len(clines):

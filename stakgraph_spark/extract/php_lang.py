@@ -343,8 +343,12 @@ def extract_php(path: str, content: str) -> Extraction:
         fbody = body(s, e)
         annos_test = any(_TEST_ATTR_RE.match(nclines[r])
                          for r in range(max(0, s - 3), s))
-        is_test = testfile or annos_test or name.lower().startswith("test") \
-            and testfile
+        # php.rs:199-207 is_test: any function whose lowercase name starts
+        # with 'test', or whose body mentions @test / PHPUnit, is a test
+        # regardless of which file it lives in
+        is_test = (testfile or annos_test
+                   or name.lower().startswith("test")
+                   or "@test" in fbody.lower() or "PHPUnit" in fbody)
         enc = enclosing_class(s)
         if is_test:
             tt = classify_test(name, path, fbody)

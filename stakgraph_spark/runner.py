@@ -84,11 +84,39 @@ class PipelineRunner:
             F.lit(round(time.time(), 3)).alias("finished_at"))
         rows.write.mode("append").parquet(self.manifest_path)
         # human-readable mirror, capped (telemetry only; the parquet table is
-        # the source of truth)
-        if parts.limit(MIRROR_CAP + 1).count() <= MIRROR_CAP:
+        # the source of truth).  Gated on the partition count run() already
+        # computed — a per-call limit().count() probe was an extra Spark job
+        # per stage (pointless scan at 10^6 partitions).
+        if getattr(self, "_mirror_ok", True):
             with open(self.mirror_path, "a") as f:
                 for r in rows.collect():
                     f.write(json.dumps(r.asDict()) + "\n")
+
+    def _drop_raw_dirs(self, gone: DataFrame):
+        """Delete the raw parquet partition dirs of removed (repo, lang)
+        partitions — the tombstone row excludes their rows from rebuilds, but
+        the bytes would otherwise linger on disk forever.  Walks the hive
+        layout and unescapes Spark's %XX partition-value encoding; collect()
+        is bounded by the removed set, not the partition count."""
+        import shutil
+        from urllib.parse import unquote
+
+        removed = {(r["repo"], r["lang"]) for r in
+                   gone.select("repo", "lang").collect()}
+        if not removed or not os.path.isdir(self.raw_path):
+            return
+        for rdir in os.listdir(self.raw_path):
+            if not rdir.startswith("repo="):
+                continue
+            repo = unquote(rdir[5:])
+            rpath = os.path.join(self.raw_path, rdir)
+            for ldir in os.listdir(rpath):
+                if ldir.startswith("lang=") and \
+                        (repo, unquote(ldir[5:])) in removed:
+                    shutil.rmtree(os.path.join(rpath, ldir),
+                                  ignore_errors=True)
+            if not os.listdir(rpath):
+                os.rmdir(rpath)
 
     def _metric(self, stage: str, duration_ms: float, extra: dict):
         with open(self.metrics_path, "a") as f:
@@ -133,6 +161,7 @@ class PipelineRunner:
         # A "removed" tombstone row makes the detection one-shot.
         gone = done.join(parts, ["repo", "lang"], "left_anti")
         n_removed = gone.count()
+        self._mirror_ok = n_parts <= MIRROR_CAP
 
         # ---- stage: extract (per-partition checkpointed, anti-join resume;
         # changed partitions are dynamically overwritten) ----
@@ -176,6 +205,7 @@ class PipelineRunner:
                 [("*", "*")], ["repo", "lang"]))
             if n_removed:
                 self._mark_df("extract", gone, status="removed")
+                self._drop_raw_dirs(gone)
             g_metrics = g.metrics
             link_rebuilt = True
         else:

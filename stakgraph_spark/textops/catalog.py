@@ -254,7 +254,8 @@ FROM mins
 """
 
 
-_PAIR_SALTS = 8  # skew salt: one band bucket is handled by S tasks, not 1
+_PAIR_SALTS = 8   # skew salt: one HOT band bucket is handled by S tasks
+_SALT_HOT = 2048  # bucket size above which the salt replication kicks in
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -278,17 +279,28 @@ def q_minhash_pairs(spark, sf_dir):
          .localCheckpoint())
 
     def pairs(band_col: str):
-        left = b.select(F.col("doc_id").alias("a"),
-                        F.col(band_col).alias("bd"),
-                        F.pmod(F.xxhash64("doc_id"),
-                               F.lit(_PAIR_SALTS)).alias("salt"))
-        right = (b.select(F.col("doc_id").alias("b"),
-                          F.col(band_col).alias("bd"))
+        """Two-pass heavy-hitter salting: a first cheap count over the
+        (checkpointed) bands finds buckets above _SALT_HOT; only those pay
+        the xS build-side replication, everything else is a plain equi-join.
+        The unconditional x8 explode of round 3 regressed the cold path 25%
+        for skew that wasn't there."""
+        aa = b.select(F.col("doc_id").alias("a"), F.col(band_col).alias("bd"))
+        bb = b.select(F.col("doc_id").alias("b"), F.col(band_col).alias("bd"))
+        hot = F.broadcast(
+            b.groupBy(F.col(band_col).alias("bd")).count()
+             .where(F.col("count") > _SALT_HOT).select("bd"))
+        cold = aa.join(hot, "bd", "left_anti").join(bb, "bd")
+        left = (aa.join(hot, "bd", "leftsemi")
+                .withColumn("salt", F.pmod(F.xxhash64("a"),
+                                           F.lit(_PAIR_SALTS))))
+        right = (bb.join(hot, "bd", "leftsemi")
                  .withColumn("salt", F.explode(F.sequence(
                      F.lit(0).cast("long"),
                      F.lit(_PAIR_SALTS - 1).cast("long")))))
-        return (left.join(right, ["bd", "salt"])
-                .where(F.col("a") < F.col("b")).select("a", "b"))
+        salted = left.join(right, ["bd", "salt"])
+        return (cold.select("a", "b")
+                .unionByName(salted.select("a", "b"))
+                .where(F.col("a") < F.col("b")))
 
     return pairs("band1").unionByName(pairs("band2")).distinct()
 

@@ -29,3 +29,28 @@ def test_giant_duplicate_cluster_bounded(spark, tmp_path):
     assert (100_000, 100_001) in got or (100_000, 100_002) in got
     assert len(got) <= 10
     shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_salted_path_matches_cold_path(spark, tmp_path, monkeypatch):
+    """The heavy-hitter salted band join must emit exactly the same pair set
+    as the plain equi-join — forcing every bucket hot via _SALT_HOT=-1
+    exercises the replication path on the same corpus."""
+    from stakgraph_spark.textops import catalog
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    rows = [(i, base + f" unique tail number {i} end") for i in range(40)]
+    rows += [(1000 + i, f"totally different text about topic {i} with "
+              "no overlap whatsoever in any shingle window at all "
+              * 2) for i in range(5)]
+    sf_dir = str(tmp_path / "sf")
+    (spark.createDataFrame(rows, "doc_id: long, text: string")
+     .write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet"))
+
+    cold = {(r["a"], r["b"])
+            for r in q_minhash_pairs(spark, sf_dir).collect()}
+    monkeypatch.setattr(catalog, "_SALT_HOT", -1)
+    hot = {(r["a"], r["b"])
+           for r in q_minhash_pairs(spark, sf_dir).collect()}
+    assert cold == hot and len(cold) > 0
+    shutil.rmtree(sf_dir, ignore_errors=True)
