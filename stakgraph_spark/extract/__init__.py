@@ -58,6 +58,9 @@ def get_extractor(lang: str):
     if lang == "angular":
         from .angular_lang import extract_angular
         return extract_angular
+    if lang == "svelte":
+        from .svelte_lang import extract_svelte
+        return extract_svelte
     if lang in ("typescript", "react"):
         try:
             from .ts_lang import make_ts_extractor
@@ -67,14 +70,44 @@ def get_extractor(lang: str):
     return None
 
 
-def extraction_to_rows(ex: Extraction, repo: str, lang: str) -> list[dict]:
+# node types whose body the LINK plane reads (import-var probe, integration
+# and e2e body matching, frontend test-id attributes) — these keep their
+# body inline; everything else is slimmed (see schema.py RAW_SCHEMA header)
+_INLINE_BODY_TYPES = frozenset({"Import", "IntegrationTest", "E2eTest"})
+_FRONTEND_LANGS = frozenset({"typescript", "react"})
+
+
+def extraction_to_rows(ex: Extraction, repo: str, lang: str,
+                       lines: list[str] | None = None) -> list[dict]:
     rows: list[dict] = []
+    frontend = lang in _FRONTEND_LANGS
     for n in ex.nodes:
+        body = n.body or ""
+        mode = off = None
+        if body and not (n.node_type in _INLINE_BODY_TYPES
+                         or (frontend and n.node_type == "Function")):
+            # the byte-heavy common case: body == the source's line span
+            # [start, end] (possibly minus leading whitespace, python's
+            # indent-trimmed ast segments) -> recomputable JVM-side; the
+            # equality check makes this bulletproof against any extractor
+            # that trims or synthesizes (those ship as rec='fat' rows)
+            span = "\n".join(lines[n.start:n.end + 1]) if lines else None
+            if span is not None and span.endswith(body):
+                mode, off, body = "span", len(span) - len(body), None
+            else:
+                mode, body = "fat", None
+                rows.append({
+                    "rec": "fat", "node_type": n.node_type, "name": n.name,
+                    "file": n.file, "start": n.start, "body": n.body,
+                    "meta": n.meta or None, "repo": repo, "lang": lang,
+                })
         rows.append({
             "rec": "node", "node_type": n.node_type, "name": n.name,
-            "file": n.file, "start": n.start, "end": n.end, "body": n.body,
+            "file": n.file, "start": n.start, "end": n.end,
+            "body": body if body else None,
             "docs": n.docs, "hash": None, "data_type": n.data_type,
-            "meta": n.meta or None, "repo": repo, "lang": lang,
+            "meta": n.meta or None, "body_mode": mode, "body_off": off,
+            "repo": repo, "lang": lang,
         })
     for e in ex.edges:
         st, sn, sf, ss, sv = e.src
@@ -113,7 +146,8 @@ def extract_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .libs import extract_libs
             lex = extract_libs(lang, path, content)
             if lex is not None:
-                out.extend(extraction_to_rows(lex, repo, lang))
+                out.extend(extraction_to_rows(lex, repo, lang,
+                                              content.split("\n")))
                 continue
             fn = get_extractor(lang)
             if fn is None:
@@ -135,7 +169,8 @@ def extract_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                 DOC_TYPES[lang])
                 except Exception:
                     pass  # docs are best-effort; never fail the batch
-            out.extend(extraction_to_rows(ex, repo, lang))
+            out.extend(extraction_to_rows(ex, repo, lang,
+                                          content.split("\n")))
         if out:
             # explicit None for absent fields — missing dict keys become NaN
             # in pandas, which breaks Arrow map/long conversion

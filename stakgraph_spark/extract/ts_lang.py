@@ -42,6 +42,7 @@ from .go_lang import M_OPERAND, mask_sources
 
 M_CLASS_NEW = "class_new"          # new X() -> Calls edge to unique Class
 M_EP_GROUP_USE = "ep_group_use"    # app.use("/prefix", routerVar)
+M_STRUCT_FIELD = "struct_field"    # (class, field) -> field type (registry)
 M_RENDERS = "renders"              # Page -> default-export component
 
 ARRAY_METHODS = {"push", "pop", "shift", "unshift", "slice", "splice", "concat",
@@ -286,6 +287,12 @@ _ENUM_RE = re.compile(
 _METHOD_RE = re.compile(
     r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|async\s+|override\s+)*"
     r"(?:get\s+|set\s+)?\*?\s*(?P<name>[A-Za-z_$][\w$]*)\s*(?:<[^>]*>)?\s*\([^;]*$")
+# single-line method with a `;` inside the body — `query(x: T): U { return
+# x; }` — falls outside _METHOD_RE's open-header shape
+_METHOD_ONELINE_RE = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|async\s+|override\s+)*"
+    r"(?:get\s+|set\s+)?\*?\s*(?P<name>[A-Za-z_$][\w$]*)\s*(?:<[^>]*>)?\s*"
+    r"\((?:[^()]|\([^)]*\))*\)\s*(?::\s*[^{;=]+?)?\s*\{.*\}\s*;?\s*$")
 _ARROW_ANY_RE = re.compile(
     r"(?:const|let|var)\s+(?P<name>[A-Za-z_$][\w$]*)\s*(?::[^=]+?)?=\s*"
     r"(?:async\s*)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=]+?)?\s*=>")
@@ -295,6 +302,21 @@ _MEMBER_ASSIGN_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_$][\w$]*(?:\.[A-Za-z_$][\w$]*)+)\s*=[^=>]")
 _SHORTHAND_METHOD_RE = re.compile(
     r"^\s*(?:async\s+)?(?P<name>[A-Za-z_$][\w$]*)\s*\((?:[^;()]|\([^)]*\))*\)\s*\{\s*$")
+# class-field receiver types (registry/typescript.rs class_fields,
+# ts_resolver.rs:586-612): `users = new UsersAPI()` initializers and
+# `private service: PersonService` annotations; constructor parameter
+# properties `constructor(private db: Database)` are the TS-only shorthand
+_FIELD_NEW_RE = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|readonly\s+|static\s+)*"
+    r"(?P<name>[A-Za-z_$][\w$]*)\s*(?::\s*[A-Za-z_$][\w$.<>\[\]]*)?\s*=\s*"
+    r"new\s+(?P<type>[A-Za-z_$][\w$.]*)\s*[(<]")
+_FIELD_TYPED_RE = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|readonly\s+|static\s+)*"
+    r"(?P<name>[A-Za-z_$][\w$]*)\s*[?!]?\s*:\s*"
+    r"(?P<type>[A-Z][\w$.]*)(?:<[^>]*>)?(?:\s*\[\s*\])?\s*[;,=]?\s*$")
+_CTOR_PROP_RE = re.compile(
+    r"(?:private|public|protected|readonly)\s+(?:readonly\s+)?"
+    r"(?P<name>[A-Za-z_$][\w$]*)\s*[?!]?\s*:\s*(?P<type>[A-Z][\w$.]*)")
 _ASSIGN_ARROW_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>")
 _PAIR_ARROW_RE = re.compile(
@@ -379,15 +401,27 @@ _VAR_VALUE_OK = re.compile(
     r"^(?:new\s+[A-Za-z_$]|['\"`]|\d|\{|\[|true\b|false\b|[A-Za-z_$][\w$]*(?:\.[A-Za-z_$][\w$]*)*\s*[;,]?\s*$)")
 
 
+def _base_type_ts(t: str) -> str:
+    """Strip generics/array/namespace qualifiers: `api.Client<T>[]` -> Client."""
+    t = t.split("<")[0].rstrip("[] ").strip()
+    return t.rsplit(".", 1)[-1]
+
+
 def make_ts_extractor(lang: str):
     def fn(path: str, content: str) -> Extraction:
         return extract_ts(path, content, lang)
     return fn
 
 
-def extract_ts(path: str, content: str, lang: str = "typescript") -> Extraction:
+def extract_ts(path: str, content: str, lang: str = "typescript",
+               ext_override: str | None = None) -> Extraction:
+    # ext_override: treat the file as having this extension for the
+    # dispatch gates below (the svelte extractor feeds a <script> slice of
+    # a .svelte file through the ts machinery, svelte.rs:57-76); node.file
+    # and path-convention checks keep the real path
+    eff = path if ext_override is None else f"{path}.{ext_override}"
     ex = Extraction()
-    if path.endswith((".mdx", ".md")):
+    if eff.endswith((".mdx", ".md")):
         if is_extra_page(path):
             name = page_name(path) if "/pages/" in path else \
                 path.replace("\\", "/").rsplit("/", 2)[-2]
@@ -398,7 +432,7 @@ def extract_ts(path: str, content: str, lang: str = "typescript") -> Extraction:
             if mm:
                 ex.node("Var", mm.group(1), path, i, i, line)
         return ex
-    if not path.endswith((".ts", ".tsx", ".js", ".jsx")):
+    if not eff.endswith((".ts", ".tsx", ".js", ".jsx")):
         return ex
     no_comments, code_only = mask_sources(content)
     lines = content.split("\n")
@@ -565,18 +599,39 @@ def extract_ts(path: str, content: str, lang: str = "typescript") -> Extraction:
                 continue
 
             if class_ctx is not None and not depth_in_method:
-                m = _METHOD_RE.match(ml)
+                m = _METHOD_RE.match(ml) or _METHOD_ONELINE_RE.match(ml)
                 if m and m.group("name") not in ("if", "for", "while", "switch",
                                                  "catch", "return", "render",
                                                  "super"):
                     e = _span_end(mlines, i, n)
                     cname, cstart = class_ctx
+                    if m.group("name") == "constructor":
+                        # constructor parameter properties are class fields
+                        # (registry/typescript.rs class_fields analogue)
+                        header = " ".join(x.strip() for x in
+                                          mlines[i:min(i + 5, e + 1)])
+                        header = header.split(")", 1)[0]
+                        for cm in _CTOR_PROP_RE.finditer(header):
+                            ex.mention(M_STRUCT_FIELD,
+                                       ("Class", cname, path, 0, None),
+                                       cm.group("name"),
+                                       extra={"ftype": _base_type_ts(
+                                           cm.group("type"))})
                     funcs.append(dict(name=m.group("name"), start=i, end=e,
                                       operand=(cname, cstart),
                                       body=body_of(i, e)))
                     scan(i + 1, e - 1, class_ctx, True)
                     i = e + 1
                     continue
+                # field declarations with a recoverable type: `= new X()`
+                # initializers and `name: Type` annotations feed the
+                # receiver registry (this.field.method() -> Type.method)
+                fm = _FIELD_NEW_RE.match(ml) or _FIELD_TYPED_RE.match(ml)
+                if fm and fm.group("name") not in KEYWORDS:
+                    ex.mention(M_STRUCT_FIELD,
+                               ("Class", class_ctx[0], path, 0, None),
+                               fm.group("name"),
+                               extra={"ftype": _base_type_ts(fm.group("type"))})
 
             sm2 = _SHORTHAND_METHOD_RE.match(ml) if (class_ctx is None
                                                        and not top) else None
@@ -694,7 +749,9 @@ def extract_ts(path: str, content: str, lang: str = "typescript") -> Extraction:
         ex.node("Function", f["name"], path, f["start"], f["end"], f["body"],
                 meta=meta)
         src_ref = ("Function", f["name"], path, f["start"], None)
-        _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, f["start"], f["end"])
+        _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, f["start"],
+                      f["end"],
+                      cls_name=f["operand"][0] if f["operand"] else None)
 
     for t in tests:
         src_ref = (t["type"], t["name"], path, t["start"], None)
@@ -763,7 +820,8 @@ def _emit_import(ex: Extraction, path: str, m):
             ex.mention(M_IMPORT_EDGE, file_ref, nm, dst_file=module)
 
 
-def _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, s, e, in_test=False):
+def _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, s, e,
+                  in_test=False, cls_name=None):
     idents: set[str] = set()
     dm_names: set[str] = set()
     for off in range(s, e + 1):
@@ -821,6 +879,17 @@ def _scan_fn_body(ex, src_ref, path, mlines, nclines, lines, s, e, in_test=False
             parts = chain.split(".")
             called = parts[-1]
             operand = parts[0] if len(parts) > 1 else None
+            if operand == "this" and cls_name and called not in KEYWORDS:
+                if len(parts) >= 3:
+                    # this.field.method(): field-typed receiver — the
+                    # registry resolves via the class-field type at 1.0
+                    # (ts_resolver.rs eval_expr_type member_expression arm)
+                    ex.mention(M_CALL, src_ref, called, row=off,
+                               extra={"rcv_base": cls_name,
+                                      "rcv_field": parts[1]})
+                    continue
+                # this.method(): same-class method — operand strategy
+                operand = cls_name
             if called in KEYWORDS or (operand in KEYWORDS if operand else False):
                 continue
             skipped = should_skip_call(called, operand)

@@ -237,7 +237,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     ex_nodes = raw.where(F.col("rec") == "node").select(
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
-        "data_type", "meta", "repo", "lang")
+        "data_type", "meta", "body_mode", "body_off", "repo", "lang")
     # import-section nodes are named by their own canonical key over the
     # constant "imports" (combine_import_sections, builder/utils.rs:158-175)
     ex_nodes = ex_nodes.withColumn(
@@ -277,29 +277,26 @@ def build_graph(spark: SparkSession, source: DataFrame,
     from .link.groups import apply_endpoint_groups
     ex_nodes, mention = apply_endpoint_groups(ex_nodes, mention, imports_map)
 
-    nodes = fp_nodes.unionByName(ex_nodes)
+    # file-plane nodes carry no body_mode/off (their bodies are empty by
+    # construction); allowMissingColumns fills the slimming columns with null
+    nodes = fp_nodes.unionByName(ex_nodes, allowMissingColumns=True)
     nodes = _key(nodes)
     # BTreeMap insert = last-write-wins on canonical key; order-insensitive
-    # here (duplicate keys are re-extractions of the same entity)
+    # here (duplicate keys are re-extractions of the same entity).
+    # ALREADY SLIM: the extraction UDF strips span-recomputable bodies
+    # before they ever cross Arrow (schema.py RAW_SCHEMA header), so this
+    # dedup shuffle + checkpoint carry only the link-consumed bodies
+    # (Import / IntegrationTest / E2eTest / frontend Function) plus docs.
     nodes_full = _ckpt(nodes.dropDuplicates(["node_key"]))
 
-    # SLIM link-plane table: bodies are ~90% of node bytes and every link /
-    # prune family re-reads this checkpoint — at bench scale those repeated
-    # reads made the whole link plane DISK-bound (flat across thread counts).
-    # Body text is kept only where link semantics consume it: Import
-    # sections (var linking), Integration/E2e test bodies (endpoint / page /
-    # test-id matching), frontend Function bodies (test-id attributes);
-    # everything else carries a has_body flag (the cascade's nonempty rule).
-    keep_body = (F.col("node_type").isin("Import", "IntegrationTest", "E2eTest")
-                 | ((F.col("node_type") == "Function")
-                    & F.col("lang").isin("typescript", "react")))
+    # link-plane projection: every link / prune family re-reads this
+    # checkpoint, so it drops docs/hash and the slimming bookkeeping; the
+    # cascade's nonempty-body rule rides the has_body flag.
     nodes = _ckpt(nodes_full
                   .withColumn("has_body",
-                              F.length(F.coalesce("body", F.lit(""))) > 0)
-                  .withColumn("body",
-                              F.when(keep_body, F.col("body"))
-                              .otherwise(F.lit("")))
-                  .drop("docs", "hash"))
+                              (F.length(F.coalesce("body", F.lit(""))) > 0)
+                              | F.col("body_mode").isNotNull())
+                  .drop("docs", "hash", "body_mode", "body_off"))
     stage("nodes_assembled")
 
     # File -CONTAINS-> extracted node (add_node_with_parent semantics)
@@ -598,14 +595,49 @@ def build_graph(spark: SparkSession, source: DataFrame,
     nodes, edges = prune_graph(nodes, edges, pool=pool)
     pool.shutdown(wait=False)
 
-    # restore the fat payload (body/docs/hash) for the surviving keys — the
-    # ONLY pass that touches full bodies after assembly
-    nodes = (nodes.drop("body", "has_body")
-             .join(nodes_full.select("node_key", "body", "docs", "hash"),
-                   "node_key", "left")
-             .select("node_type", "name", "file", "start", "end", "body",
-                     "docs", "hash", "data_type", "meta", "repo", "lang",
-                     "node_key"))
+    # ---- body restore — the ONLY pass that touches full bodies ----
+    # inline (link-consumed) bodies + docs/hash ride nodes_full; 'span'
+    # bodies are recomputed JVM-side from the source table with one join
+    # keyed on (repo, lang, file) (the body_mode=='span' term keeps
+    # non-span rows from matching); the rare non-span remainder comes from
+    # the rec='fat' companion rows, deduped to mirror the node dedup.
+    fat_tbl = (_key(raw.where(F.col("rec") == "fat")
+                    .select("node_type", "name", "file", "start", "body",
+                            "meta", "repo", "lang"))
+               .select("node_key", F.col("body").alias("_fat_body"))
+               .dropDuplicates(["node_key"]))
+    src_lines = src.select(
+        F.col("repo").alias("_sl_repo"), F.col("lang").alias("_sl_lang"),
+        F.col("path").alias("_sl_file"),
+        F.split(F.coalesce("content", F.lit("")), "\n").alias("_lines"))
+    base = (nodes.drop("body", "has_body")
+            .join(nodes_full.select("node_key", "body", "docs", "hash",
+                                    "body_mode", "body_off"),
+                  "node_key", "left")
+            .join(fat_tbl, "node_key", "left"))
+    joined = base.join(
+        src_lines,
+        (base["repo"] == F.col("_sl_repo"))
+        & (base["lang"] == F.col("_sl_lang"))
+        & (base["file"] == F.col("_sl_file"))
+        & (base["body_mode"] == F.lit("span")), "left")
+    span_txt = F.array_join(
+        F.slice(F.col("_lines"), (F.col("start") + 1).cast("int"),
+                F.greatest(F.col("end") - F.col("start") + 1,
+                           F.lit(0)).cast("int")), "\n")
+    span_body = F.when(
+        F.coalesce("body_off", F.lit(0)) > 0,
+        F.substring(span_txt, (F.col("body_off") + 1).cast("int"),
+                    F.lit(2147483647))).otherwise(span_txt)
+    nodes = (joined.withColumn(
+        "body",
+        F.when(F.col("body_mode") == "span", F.coalesce(span_body, F.lit("")))
+        .when(F.col("body_mode") == "fat",
+              F.coalesce("_fat_body", F.lit("")))
+        .otherwise(F.coalesce("body", F.lit(""))))
+        .select("node_type", "name", "file", "start", "end", "body",
+                "docs", "hash", "data_type", "meta", "repo", "lang",
+                "node_key"))
     stage("pruned")
 
     return GraphResult(nodes=nodes, edges=edges, metrics=metrics)

@@ -35,8 +35,17 @@ SOURCE_SCHEMA = StructType([
 # (rec='node') and unresolved reference rows (rec='edge' when both endpoints
 # are known in-file, rec='mention' when the target needs cross-file
 # resolution).  One wide nullable schema keeps it a single Arrow stream.
+#
+# BODY SLIMMING (the round-3 scale fix): node bodies that are an exact line
+# span of the source file (the overwhelming majority) never leave Python —
+# the row carries body=NULL + body_mode='span' (+body_off chars to skip for
+# python's indent-trimmed segments) and the final materialization recomputes
+# the text JVM-side from the source table.  Bodies the LINK plane consumes
+# (Import / IntegrationTest / E2eTest / frontend Function) stay inline; the
+# rare non-span remainder ships as a companion rec='fat' row consumed once
+# at the end.  This cut ~90% of the Arrow/checkpoint bytes of the RAW stream.
 RAW_SCHEMA = StructType([
-    StructField("rec", STR, False),            # node | edge | mention
+    StructField("rec", STR, False),            # node | edge | mention | fat
     # -- node fields (rec='node')
     StructField("node_type", STR, True),
     StructField("name", STR, True),
@@ -68,6 +77,11 @@ RAW_SCHEMA = StructType([
     # shuffle was the scaling bottleneck; arrays defer the explode until
     # after intersection with the (small) symbol-name sets
     StructField("names", ArrayType(STR), True),
+    # body slimming (see header comment): 'span' = recompute from source
+    # lines [start, end] skipping body_off leading chars; 'fat' = body rides
+    # in a companion rec='fat' row; NULL = inline body / no body
+    StructField("body_mode", STR, True),
+    StructField("body_off", LNG, True),
     # -- partition carry-through
     StructField("repo", STR, True),
     StructField("lang", STR, True),

@@ -45,6 +45,7 @@ FIXTURES = {
     "cpp/web_api": "cpp",
     "cpp/cuda": "cpp",
     "angular": "angular",
+    "svelte": "svelte",
 }
 
 
@@ -99,7 +100,7 @@ def walk_fixture(fixture_dir: str, lang: str, root: str = REFERENCE_TESTING,
 IMPLEMENTED_FIXTURES = {k: v for k, v in FIXTURES.items()
                         if v in ("python", "go", "rust", "typescript", "react",
                                  "java", "ruby", "kotlin", "swift", "php",
-                                 "csharp", "c", "cpp", "angular")}
+                                 "csharp", "c", "cpp", "angular", "svelte")}
 
 
 def fixture_source_rows(fixtures: dict[str, str] | None = None) -> list[dict]:
