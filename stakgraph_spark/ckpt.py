@@ -1,0 +1,59 @@
+"""Stage-checkpoint strategy, shared by the pipeline/link/prune planes.
+
+Two interchangeable materialization backends:
+
+* local (default)          — `localCheckpoint` with serialized+compressed
+                             blocks.  Zero I/O, but block registration is
+                             single-threaded on the driver — a measured
+                             data-proportional serial cost at bench scale
+                             (VERDICT r03), and RDD blocks are row-oriented:
+                             every downstream read deserializes all columns.
+* parquet (STAKGRAPH_CKPT=parquet) — write the stage to parquet in a temp
+                             dir and read it back.  Costs one parallel I/O
+                             pass but gives columnar pruning + predicate
+                             pushdown to the ~10 families that re-read each
+                             stage, and the write is executor-parallel (no
+                             driver serial section).  This is also exactly
+                             the cluster story (`runner.py` stage tables),
+                             so the A/B doubles as a rehearsal of the
+                             production plan.
+
+`bench.py --scaling` runs whichever mode the env selects; BENCH/ records
+the A/B outcome.
+"""
+
+from __future__ import annotations
+
+import atexit
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.storagelevel import StorageLevel
+
+# serialized (+lz4 when spark.rdd.compress=true) blocks: the deserialized
+# default kept multi-GB object graphs on the heap, and the GC pressure
+# throttled exactly the high-parallelism runs the scaling target measures
+SER_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+_MODE = os.environ.get("STAKGRAPH_CKPT", "local")
+_SEQ = itertools.count()
+_DIR: str | None = None
+
+
+def _parquet_dir() -> str:
+    global _DIR
+    if _DIR is None:
+        _DIR = tempfile.mkdtemp(prefix="stakgraph_ckpt_")
+        atexit.register(shutil.rmtree, _DIR, True)
+    return _DIR
+
+
+def ckpt(df, eager: bool = True):
+    """Materialize a stage DataFrame and truncate its lineage."""
+    if _MODE == "parquet":
+        path = os.path.join(_parquet_dir(), f"c{next(_SEQ)}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint(eager=eager, storageLevel=SER_LEVEL)

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from pyspark.storagelevel import StorageLevel
 
+from ..ckpt import ckpt as _ckpt
+
 from ..keys import node_key_col, sanitize_col
 
 _SER = StorageLevel.MEMORY_AND_DISK  # serialized checkpoint blocks
@@ -121,11 +123,11 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
             mentions = mentions.withColumn(c, F.lit(None).cast("string"))
     # the symbol-table base feeds ~6 aggregate views per cascade instance;
     # checkpointing it keeps every downstream join plan shallow
-    fns = _fn_base(functions).localCheckpoint(eager=False, storageLevel=_SER)
+    fns = _ckpt(_fn_base(functions), eager=False)
 
     resolved = _cascade_1_to_6(mentions, fns, instances, variables, imports_map,
                                struct_fields, trait_impls=trait_impls)
-    resolved = resolved.localCheckpoint(storageLevel=_SER)
+    resolved = _ckpt(resolved)
 
     # 7. member_expr: unresolved mentions WITH an operand -> resolve the base
     # object as a function via cascade 1-4 (format.rs:1208-1239).  Only call
@@ -156,8 +158,9 @@ def resolve_calls(mentions: DataFrame, functions: DataFrame,
     # identical, but ~6 joins of plan (and their codegen stages) are saved.
     # Lazy checkpoint: both consumers below (member hits -> Calls family,
     # member misses -> USES family) share one evaluation of this cascade.
-    base_res = _cascade_1_to_6(base, fns, instances, variables, imports_map,
-                               None, lean=True).localCheckpoint(eager=False, storageLevel=_SER)
+    base_res = _ckpt(_cascade_1_to_6(base, fns, instances, variables,
+                                     imports_map, None, lean=True),
+                     eager=False)
     member = (base_res.where(F.col("dst_file").isNotNull())
               .withColumn("dst_name", F.col("called"))   # the base object's name
               .withColumn("called", F.col("orig_called"))

@@ -36,17 +36,7 @@ EDGE_COLS = ["src_key", "dst_key", "edge_type", "operand", "confidence",
              "strategy", "repo", "lang"]
 
 
-from pyspark.storagelevel import StorageLevel
-
-# serialized (+lz4 when spark.rdd.compress=true) checkpoint blocks: the
-# deserialized default kept multi-GB object graphs on the heap, and the GC
-# pressure throttled exactly the high-parallelism runs the scaling target
-# measures
-_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
-
-
-def _ckpt(df, eager: bool = True):
-    return df.localCheckpoint(eager=eager, storageLevel=_CKPT_LEVEL)
+from .ckpt import ckpt as _ckpt
 
 
 
@@ -553,7 +543,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # Spark already runs the union's independent branches' stages in
     # parallel).  STAKGRAPH_CONC_LINK opts back into the experiment.
     if os.environ.get("STAKGRAPH_CONC_LINK"):
-        futs = [pool.submit(lambda d=d: _norm_edges(d).localCheckpoint())
+        futs = [pool.submit(lambda d=d: _ckpt(_norm_edges(d)))
                 for d in fams]
         checked = [f.result() for f in futs]
         edges = checked[0]

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .ckpt import ckpt as _ckpt
+
 _SER = StorageLevel.MEMORY_AND_DISK  # serialized blocks (deser default thrashes GC)
 
 # per-language clean_graph directives (dispatch ast/src/builder/stages.rs:628-640)
@@ -133,7 +135,8 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
     # anti-join over the call cascade, and prune_orphan + the directives read
     # slim ~8 times — uncheckpointed, each read replays the cascade
     slim = nodes.select("node_key", "node_type", "repo", "lang", "name",
-                        "file", "start", "end", "meta").localCheckpoint(storageLevel=_SER)
+                        "file", "start", "end", "meta")
+    slim = _ckpt(slim)
 
     removed = prune_orphan_functions(slim, edges)
     slim = slim.join(removed, "node_key", "left_anti")
@@ -153,7 +156,7 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
             elif d[0] == "filter":
                 slim = filter_parents_without_children(slim, lang, d[1], d[2], d[3])
 
-    keys = slim.select("node_key").localCheckpoint(storageLevel=_SER)
+    keys = _ckpt(slim.select("node_key"))
     nodes = nodes.join(keys, "node_key", "leftsemi")
 
     # drop edges whose endpoints no longer exist (dangling after prunes);
@@ -164,8 +167,7 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
              .join(keys.withColumnRenamed("node_key", "dst_key"), "dst_key", "leftsemi"))
     if pool is not None:
         # the two final materializations are independent — overlap them
-        fn = pool.submit(lambda: nodes.localCheckpoint(storageLevel=_SER))
-        fe = pool.submit(lambda: edges.localCheckpoint(storageLevel=_SER))
+        fn = pool.submit(lambda: _ckpt(nodes))
+        fe = pool.submit(lambda: _ckpt(edges))
         return fn.result(), fe.result()
-    return (nodes.localCheckpoint(storageLevel=_SER),
-            edges.localCheckpoint(storageLevel=_SER))
+    return (_ckpt(nodes), _ckpt(edges))
