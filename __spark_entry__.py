@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # entries with sql=None are non-SQL-expressible (batched-Python
+    # embedding); the driver records the weaker rows-only check for them
     from stakgraph_spark.textops.catalog import CATALOG
 
-    return {name: sql for name, (_fn, sql) in CATALOG.items()}
+    return {name: sql for name, (_fn, sql) in CATALOG.items()
+            if sql is not None}

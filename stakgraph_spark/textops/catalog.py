@@ -601,8 +601,23 @@ SELECT user_id, event_type, event_id, round(value, 2) AS value FROM (
 """
 
 
+def q_ann_docs_embed(spark, sf_dir):
+    """End-to-end document ANN: embed the documents table (deterministic
+    hash backend — the real bge-small backend is env-gated, see
+    textops/embedder.py) and find each of the first 20 docs' best
+    neighbor through the generic-dimension LSH path.  NOT SQL-expressible
+    (embedding is a batched Python op), so the driver records the weaker
+    rows-only check for this entry."""
+    from .embedder import ann_lsh_best, embed_documents
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = embed_documents(d, backend="hash").localCheckpoint()
+    return ann_lsh_best(emb, n_queries=20)
+
+
 CATALOG: dict[str, tuple] = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "ann_docs_embed": (q_ann_docs_embed, None),  # rows-only (see docstring)
     "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
     "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
