@@ -259,12 +259,21 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
     # calibrate FIRST and persist every leg as it lands: a late failure must
     # never lose an hour-long measurement again
     hw0 = hw_calibration(levels)
+    # SPARK_GRAFT_PIN=1 pins each leg's WHOLE process tree (JVM, python
+    # workers, GC/compiler threads) to exactly N cores via taskset — the
+    # faithful reading of the north rule's "N vs 4N cores".  Unpinned
+    # local[N] only bounds concurrent tasks: auxiliary threads free-ride on
+    # the machine's other cores, inflating the low leg's rate (measured
+    # core_util 1.1 at local[2]) and depressing the reported efficiency.
+    pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
     results = []
     for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--kg-only", str(cpus), str(copies),
-             str(reps)],
-            capture_output=True, text=True, timeout=14000)
+        cmd = [sys.executable, __file__, "--kg-only", str(cpus), str(copies),
+               str(reps)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=14000)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))
         with open(f"BENCH/leg_local{cpus}_c{copies}.json", "w") as f:
@@ -283,8 +292,12 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
         f"| local[{r['cpus']}] rep {i + 1} | {x['sec']} | {x['files_per_sec']} "
         f"| {x.get('cpu_sec', '')} | {x.get('core_util', '')} |"
         for r in results for i, x in enumerate(r["runs"]))
+    pin_note = (" — process tree PINNED to N cores via taskset (the "
+                "faithful N-vs-4N-cores reading)" if pin else
+                " — unpinned local[N] (aux threads free-ride; low leg's "
+                "effective cores > N)")
     with open(f"BENCH/scaling_{n1}v{n2}_{rn['files']}.md", "w") as f:
-        f.write(f"""# Scaling run — local[{n1}] vs local[{n2}], {rn['files']} files
+        f.write(f"""# Scaling run — local[{n1}] vs local[{n2}], {rn['files']} files{pin_note}
 
 | parallelism | files | wall sec (best) | files/sec (best) | nodes | edges |
 |---|---|---|---|---|---|
@@ -326,7 +339,7 @@ Per-stage timings (best runs):
 ```
 """)
     print(json.dumps({"efficiency": round(eff, 3), "levels": levels,
-                      "hw": hw, "efficiency_vs_hw": rel,
+                      "pinned": pin, "hw": hw, "efficiency_vs_hw": rel,
                       "rn": rn, "r4n": r4n}))
 
 

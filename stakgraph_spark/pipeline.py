@@ -273,20 +273,18 @@ def build_graph(spark: SparkSession, source: DataFrame,
     nodes = _key(nodes)
     # BTreeMap insert = last-write-wins on canonical key; order-insensitive
     # here (duplicate keys are re-extractions of the same entity).
-    # ALREADY SLIM: the extraction UDF strips span-recomputable bodies
-    # before they ever cross Arrow (schema.py RAW_SCHEMA header), so this
-    # dedup shuffle + checkpoint carry only the link-consumed bodies
-    # (Import / IntegrationTest / E2eTest / frontend Function) plus docs.
-    nodes_full = _ckpt(nodes.dropDuplicates(["node_key"]))
-
-    # link-plane projection: every link / prune family re-reads this
-    # checkpoint, so it drops docs/hash and the slimming bookkeeping; the
-    # cascade's nonempty-body rule rides the has_body flag.
-    nodes = _ckpt(nodes_full
+    # ONE node checkpoint serves both the link plane and the final payload
+    # restore: the extraction UDF already stripped span-recomputable bodies
+    # before they crossed Arrow (schema.py RAW_SCHEMA header), so the only
+    # "fat" columns left are link-consumed bodies + docs — cheap enough
+    # that the former second (slim-projection) checkpoint was pure barrier
+    # cost: one more materialization job whose tail stragglers idle every
+    # core at high parallelism (measured 26% idle at the pinned 8-core
+    # scaling leg).  The cascade's nonempty-body rule rides has_body.
+    nodes = _ckpt(nodes.dropDuplicates(["node_key"])
                   .withColumn("has_body",
                               (F.length(F.coalesce("body", F.lit(""))) > 0)
-                              | F.col("body_mode").isNotNull())
-                  .drop("docs", "hash", "body_mode", "body_off"))
+                              | F.col("body_mode").isNotNull()))
     stage("nodes_assembled")
 
     # File -CONTAINS-> extracted node (add_node_with_parent semantics)
@@ -586,7 +584,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     pool.shutdown(wait=False)
 
     # ---- body restore — the ONLY pass that touches full bodies ----
-    # inline (link-consumed) bodies + docs/hash ride nodes_full; 'span'
+    # inline (link-consumed) bodies + docs/hash ride the node table; 'span'
     # bodies are recomputed JVM-side from the source table with one join
     # keyed on (repo, lang, file) (the body_mode=='span' term keeps
     # non-span rows from matching); the rare non-span remainder comes from
@@ -600,11 +598,9 @@ def build_graph(spark: SparkSession, source: DataFrame,
         F.col("repo").alias("_sl_repo"), F.col("lang").alias("_sl_lang"),
         F.col("path").alias("_sl_file"),
         F.split(F.coalesce("content", F.lit("")), "\n").alias("_lines"))
-    base = (nodes.drop("body", "has_body")
-            .join(nodes_full.select("node_key", "body", "docs", "hash",
-                                    "body_mode", "body_off"),
-                  "node_key", "left")
-            .join(fat_tbl, "node_key", "left"))
+    # the pruned node table already carries the payload columns (single
+    # node checkpoint); only the fat companions and span text need joins
+    base = nodes.join(fat_tbl, "node_key", "left")
     joined = base.join(
         src_lines,
         (base["repo"] == F.col("_sl_repo"))

@@ -45,6 +45,11 @@ def _catalog():
 @pytest.mark.parametrize("name", list(_catalog().keys()))
 def test_catalog_query_matches_oracle(spark, ducks, name):
     fn, sql = _catalog()[name]
+    if sql is None:
+        # non-SQL-expressible (batched-Python embedding): rows-only check,
+        # mirroring the driver's weaker gate for oracle-less entries
+        assert fn(spark, SF_DIR).count() > 0
+        return
     sdf = fn(spark, SF_DIR)
     srows = [r.asDict() for r in sdf.collect()]
     cols = sorted(sdf.columns)
