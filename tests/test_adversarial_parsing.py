@@ -149,3 +149,68 @@ CONST_X = 1
     assert _names(ex, "Function") == []
     assert _names(ex, "Class") == []
     assert _names(ex, "Var") == ["CONST_X"]
+
+
+def test_kotlin_allman_brace_class_span():
+    """Allman-style: the body '{' sits alone under a balanced-paren header —
+    the span must include the body, and methods inside must keep their
+    enclosing-class attribution (ADVICE r03, kotlin_lang._span_end)."""
+    from stakgraph_spark.extract.kotlin_lang import extract_kotlin
+    src = '''package demo
+
+class Person(val name: String)
+{
+    fun greet(): String
+    {
+        return "hi " + name
+    }
+}
+
+data class Point(val x: Int, val y: Int)
+'''
+    ex = extract_kotlin("a/Person.kt", src)
+    cls = [n for n in ex.nodes if n.node_type == "Class" and n.name == "Person"]
+    assert cls and cls[0].end > cls[0].start + 1, "Allman body lost"
+    fns = [n for n in ex.nodes if n.node_type == "Function" and n.name == "greet"]
+    assert fns and fns[0].meta.get("operand") == "Person", fns
+    # bodyless data class still ends at its header
+    pt = [n for n in ex.nodes if n.node_type == "Class" and n.name == "Point"]
+    assert pt and pt[0].end == pt[0].start
+
+
+def test_ts_single_line_methods_with_semicolons():
+    """One-line method bodies containing ';' must still be Function nodes
+    (the _METHOD_ONELINE_RE path) and register their class fields."""
+    from stakgraph_spark.extract.ts_lang import extract_ts
+    src = '''export class Svc {
+  private log: Logger;
+  query(sql: string): string { return sql; }
+  count(): number { let n = 1; return n; }
+}
+'''
+    ex = extract_ts("src/svc.ts", src)
+    fns = {n.name for n in ex.nodes if n.node_type == "Function"}
+    assert {"query", "count"} <= fns, fns
+    sf = [(m.src[1], m.target, m.extra.get("ftype")) for m in ex.mentions
+          if m.kind == "struct_field"]
+    assert ("Svc", "log", "Logger") in sf, sf
+
+
+def test_svelte_edge_cases():
+    """No-script components, script attributes, and unterminated script
+    tags must not crash or emit junk nodes."""
+    from stakgraph_spark.extract.svelte_lang import extract_svelte
+    # no script at all
+    ex = extract_svelte("src/routes/+page.svelte", "<main><h1>hi</h1></main>")
+    assert ex.nodes == [] or all(n.node_type != "Function" for n in ex.nodes)
+    # script with attributes + ts lang
+    src = '''<script lang="ts" context="module">
+  function load(): number { return 1; }
+</script>
+<p>{load()}</p>
+'''
+    ex = extract_svelte("src/lib/W.svelte", src)
+    assert [n.name for n in ex.nodes if n.node_type == "Function"] == ["load"]
+    # unterminated script tag
+    ex = extract_svelte("src/lib/Bad.svelte", "<script>\nfunction f() {")
+    assert all(n.node_type != "Endpoint" for n in ex.nodes)
