@@ -193,21 +193,38 @@ def _hw_burn_rand(seed):
     return s
 
 
+def _pin_init(mask_n):  # pool initializer: same affinity regime as the legs
+    os.sched_setaffinity(0, set(range(mask_n)))
+
+
 def hw_calibration(levels: tuple[int, int]) -> dict:
     """Measured scaling ceilings of THIS machine between the two worker
     counts, for two workload shapes: cache-resident compute (md5 loop) and
     random-gather memory access (the hash-join/shuffle shape).  The
-    pipeline's efficiency is reported raw AND relative to both."""
+    pipeline's efficiency is reported raw AND relative to both.
+
+    Under SPARK_GRAFT_PIN=1 each calibration pool is pinned to the same
+    0..N-1 core mask its pipeline leg runs under (ADVICE r04: an unpinned
+    calibration measures a different affinity regime than the efficiency it
+    normalizes)."""
     import multiprocessing as mp
 
+    pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
+
+    def _pool(workers):
+        if pin:
+            return mp.Pool(workers, initializer=_pin_init,
+                           initargs=(workers,))
+        return mp.Pool(workers)
+
     def rate(workers, n=150_000):
-        with mp.Pool(workers) as p:
+        with _pool(workers) as p:
             t0 = time.time()
             p.map(_hw_burn, [n] * workers)
             return workers * n / (time.time() - t0)
 
     def rate_rand(workers):
-        with mp.Pool(workers) as p:
+        with _pool(workers) as p:
             t0 = time.time()
             p.map(_hw_burn_rand, list(range(workers)))
             return workers / (time.time() - t0)

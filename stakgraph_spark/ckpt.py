@@ -37,7 +37,6 @@ from pyspark.storagelevel import StorageLevel
 # throttled exactly the high-parallelism runs the scaling target measures
 SER_LEVEL = StorageLevel.MEMORY_AND_DISK
 
-_MODE = os.environ.get("STAKGRAPH_CKPT", "local")
 _SEQ = itertools.count()
 _DIR: str | None = None
 
@@ -51,8 +50,18 @@ def _parquet_dir() -> str:
 
 
 def ckpt(df, eager: bool = True):
-    """Materialize a stage DataFrame and truncate its lineage."""
-    if _MODE == "parquet":
+    """Materialize a stage DataFrame and truncate its lineage.
+
+    eager=False marks single-consumer stages where an immediate blocking
+    materialization is pure barrier cost; BOTH backends honor it (parquet
+    mode used to force an eager write, re-introducing exactly the barriers
+    the lazy call sites exist to avoid — ADVICE r04).  The mode env is read
+    per call so tests/benches can flip backends after import."""
+    if os.environ.get("STAKGRAPH_CKPT", "local") == "parquet":
+        if not eager:
+            # no lazy parquet materialization exists; the lineage is left
+            # intact (cheaper than a blocking write for a single consumer)
+            return df.localCheckpoint(eager=False, storageLevel=SER_LEVEL)
         path = os.path.join(_parquet_dir(), f"c{next(_SEQ)}")
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)

@@ -34,10 +34,17 @@ the parity target instead.  Specifically:
 
 from __future__ import annotations
 
+import re
+
 from .base import M_HANDLER, Extraction
-from .ts_lang import extract_ts, is_test_file
+from .ts_lang import M_RENDERS, extract_ts, is_test_file
 
 _VERBS = ("GET", "POST", "PUT", "PATCH", "DELETE")
+
+# `import Card from './Card.svelte'` — the imported identifier IS the
+# component's default export (svelte components compile to one)
+_COMP_IMPORT_RE = re.compile(
+    r"import\s+([A-Z][\w$]*)\s+from\s+['\"][^'\"]+\.svelte['\"]")
 
 
 def _script_slice(content: str) -> str | None:
@@ -84,22 +91,42 @@ def extract_svelte(path: str, content: str) -> Extraction:
     is_comp = path.endswith(".svelte") or content.lstrip().startswith("<script")
     if is_comp:
         script = _script_slice(content)
-        if script is None:
-            return Extraction()
-        ex = extract_ts(path, script, "typescript", ext_override="ts")
+        # markup-only components (no/unterminated script) still ARE
+        # renderable components — fall through so the component Function
+        # node and SvelteKit route entities below are still emitted
+        ex = (extract_ts(path, script, "typescript", ext_override="ts")
+              if script is not None else Extraction())
     else:
         ex = extract_ts(path, content, "typescript")
     fname = path.replace("\\", "/").rsplit("/", 1)[-1]
 
-    # drop ts-convention endpoints (Next.js app-router naming); SvelteKit
-    # conventions re-emit them below with the correct route path
-    ex.nodes = [n for n in ex.nodes if n.node_type != "Endpoint"]
-    ex.mentions = [m for m in ex.mentions
-                   if not (m.kind == M_HANDLER and m.src[0] == "Endpoint")]
+    # drop ts-convention endpoints (Next.js app-router naming) ONLY for
+    # SvelteKit convention files (+page/+server/+layout); express/fastify
+    # style endpoints declared in ordinary lib/server modules of a svelte
+    # repo must survive (ADVICE r04)
+    if fname.startswith("+"):
+        ex.nodes = [n for n in ex.nodes if n.node_type != "Endpoint"]
+        ex.mentions = [m for m in ex.mentions
+                       if not (m.kind == M_HANDLER and m.src[0] == "Endpoint")]
+
+    # non-convention component files export one implicit default component
+    # (the file itself) — surface it as a Function node named after the file
+    # basename so +page RENDERS mentions have a resolvable target (the React
+    # path's default-export component analogue, stages.rs:339-461)
+    if is_comp and fname.endswith(".svelte") and not fname.startswith("+") \
+            and not is_test_file(path):
+        comp_name = fname[:-len(".svelte")]
+        ex.node("Function", comp_name, path, 0,
+                max(content.count("\n"), 0), content)
 
     route = _route(path)
     if route is not None and fname.startswith("+page."):
-        ex.node("Page", route, path, 0, 0, "")
+        pg = ex.node("Page", route, path, 0, 0, "")
+        # Page -RENDERS-> imported component used as a markup tag
+        for im in _COMP_IMPORT_RE.finditer(content):
+            comp = im.group(1)
+            if re.search(rf"<{comp}[\s/>]", content):
+                ex.mention(M_RENDERS, pg.ref(), comp)
     if route is not None and fname.startswith("+server."):
         for n in list(ex.nodes):
             if n.node_type == "Function" and n.name in _VERBS:

@@ -317,6 +317,13 @@ _FIELD_TYPED_RE = re.compile(
 _CTOR_PROP_RE = re.compile(
     r"(?:private|public|protected|readonly)\s+(?:readonly\s+)?"
     r"(?P<name>[A-Za-z_$][\w$]*)\s*[?!]?\s*:\s*(?P<type>[A-Z][\w$.]*)")
+# class field whose initializer opens a multi-line object/array literal:
+# `opts = {` / `opts: Opts = {` — its inner `key: Type,` lines are object
+# keys, NOT class fields, and must not feed the receiver registry (ADVICE r04)
+_FIELD_OBJ_OPEN_RE = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|readonly\s+|static\s+)*"
+    r"(?P<name>[A-Za-z_$][\w$]*)\s*[?!]?\s*(?::\s*[A-Za-z_$][\w$.<>\[\]]*)?"
+    r"\s*=\s*[\{\[]\s*$")
 _ASSIGN_ARROW_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>")
 _PAIR_ARROW_RE = re.compile(
@@ -623,6 +630,16 @@ def extract_ts(path: str, content: str, lang: str = "typescript",
                     scan(i + 1, e - 1, class_ctx, True)
                     i = e + 1
                     continue
+                # multi-line object/array-literal field initializer: skip its
+                # body wholesale — inner `key: Type,` lines are object keys at
+                # class indentation and would otherwise emit spurious
+                # struct_field registry entries (ADVICE r04)
+                om = _FIELD_OBJ_OPEN_RE.match(ml)
+                if om:
+                    e = _span_end(mlines, i, n)
+                    if e > i:
+                        i = e + 1
+                        continue
                 # field declarations with a recoverable type: `= new X()`
                 # initializers and `name: Type` annotations feed the
                 # receiver registry (this.field.method() -> Type.method)

@@ -176,7 +176,13 @@ class PipelineRunner:
              .partitionBy("repo", "lang")
              .parquet(self.raw_path))
             self._mark_df("extract", todo)
-        raw = (self.spark.read.parquet(self.raw_path)
+        # explicit schema: a resumed workdir can hold mixed-schema partitions
+        # (pre-upgrade files lack newer columns; dynamic overwrite only
+        # rewrites changed partitions) and schema inference samples ONE
+        # footer — old rows surface the missing columns as NULL instead,
+        # which the consumers already handle (ADVICE r04)
+        from .schema import RAW_SCHEMA
+        raw = (self.spark.read.schema(RAW_SCHEMA).parquet(self.raw_path)
                if os.path.exists(self.raw_path) else None)
         self._metric("extract", (time.time() - t0) * 1000,
                      {"partitions_total": n_parts,

@@ -452,6 +452,8 @@ FROM sims GROUP BY qid
 
 import hashlib
 
+import numpy as _np
+
 ANN_DIM = 64
 ANN_BANDS = 8
 ANN_BITS = 4
@@ -462,33 +464,53 @@ ANN_PLANES = [
 ]
 
 
-def _band_expr(band: int) -> Column:
-    """Integer bucket of `embedding` under band #band (Spark column)."""
-    def bit(p):
-        plane = F.array(*[F.lit(s) for s in ANN_PLANES[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding").cast("array<double>"), plane,
-                       lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
-    return sum(bit(band * ANN_BITS + p) * (2 ** p) for p in range(ANN_BITS))
+def lsh_buckets(emb: DataFrame, planes: list[list[float]], bands: int,
+                bits: int, id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding) -> (id, bi, bucket): ALL band buckets in one
+    mapInPandas pass as a numpy matrix-multiply (vectors × plane-matrix →
+    sign bits → per-band integer bucket).
+
+    Replaces the round-4 literal-plane Catalyst expression tree (each bucket
+    was `bits` aggregate(zip_with(...)) folds over a `dim`-element literal
+    array — 2048 folds/row at 8×8×384): per-row cost is now one matmul row,
+    codegen compiles a trivial plan, and the emitted rows are narrow
+    (id, int, int) — the embedding never rides the bucket stream."""
+    import pandas as pd
+
+    P = _np.asarray(planes, dtype=_np.float64)          # (bands*bits, dim)
+    w = 2 ** _np.arange(bits, dtype=_np.int64)
+    nb = bands
+
+    def go(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            V = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            S = (V @ P.T) > 0
+            B = (S.reshape(len(pdf), nb, bits) * w).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: _np.repeat(pdf[id_col].to_numpy(), nb),
+                "bi": _np.tile(_np.arange(nb, dtype=_np.int32), len(pdf)),
+                "bucket": B.reshape(-1).astype(_np.int32),
+            })
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        go, f"{id_col} long, bi int, bucket int")
 
 
 def q_ann_lsh_best(spark, sf_dir):
     """Bucketed ANN: same output shape as the brute-force query but the
     candidate set is restricted to vectors sharing an LSH band bucket.
-    posexplode -> ONE (band_idx, bucket) equi-join for all bands."""
+    Buckets come from ONE vectorized mapInPandas pass (`lsh_buckets`); the
+    candidate set is a narrow (bi, bucket) self-equi-join of (id, int, int)
+    rows, and embeddings are joined back only for the surviving pairs."""
     e = _emb(spark, sf_dir)
-    b = e.select(
-        "vec_id", "embedding",
-        F.posexplode(F.array(*[_band_expr(i) for i in range(ANN_BANDS)]))
-        .alias("bi", "bucket"))
-    q = (b.where(F.col("vec_id") < 20)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                 "bi", "bucket"))
+    b = lsh_buckets(e, ANN_PLANES, ANN_BANDS, ANN_BITS)
+    q = b.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "bi", "bucket")
     cands = (q.join(b, ["bi", "bucket"])
              .where(F.col("vec_id") != F.col("qid"))
-             .dropDuplicates(["qid", "vec_id"]))
+             .select("qid", "vec_id").distinct())
     dot = F.aggregate(F.zip_with(F.col("qe").cast("array<double>"),
                                  F.col("embedding").cast("array<double>"),
                                  lambda a, b: a * b),
@@ -496,9 +518,13 @@ def q_ann_lsh_best(spark, sf_dir):
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c.cast("array<double>"), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
-    sims = cands.select(
-        "qid", "vec_id",
-        (dot / (norm(F.col("qe")) * norm(F.col("embedding")))).alias("cos"))
+    sims = (cands
+            .join(e.select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qe")), "qid")
+            .join(e, "vec_id")
+            .select("qid", "vec_id",
+                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
+                    .alias("cos")))
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))
@@ -605,19 +631,111 @@ def q_ann_docs_embed(spark, sf_dir):
     """End-to-end document ANN: embed the documents table (deterministic
     hash backend — the real bge-small backend is env-gated, see
     textops/embedder.py) and find each of the first 20 docs' best
-    neighbor through the generic-dimension LSH path.  NOT SQL-expressible
-    (embedding is a batched Python op), so the driver records the weaker
-    rows-only check for this entry."""
+    neighbor through the generic-dimension LSH path.
+
+    cache() (not localCheckpoint) keeps the embed pass from re-running for
+    the bucketize + two cosine joins WITHOUT inserting a blocking
+    materialization barrier into a declarative query (VERDICT r04 #4).
+
+    The hash embedder is md5 + signed log-tf + L2 — every step is
+    DuckDB-expressible, so this entry has a full rows+schema+hash oracle
+    (SQL_ANN_DOCS_EMBED) instead of round 4's `no_oracle` gap."""
     from .embedder import ann_lsh_best, embed_documents
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    emb = embed_documents(d, backend="hash").localCheckpoint()
+    emb = embed_documents(d, backend="hash").cache()
     return ann_lsh_best(emb, n_queries=20)
+
+
+# ---- SQL oracle for the end-to-end doc ANN -------------------------------
+# The hash embedder (embedder.py:58-77) is md5 + signed log-tf + L2 — every
+# step is DuckDB-expressible, so the whole embed -> LSH -> in-bucket cosine
+# argmax path gets a full rows+schema+hash oracle (VERDICT r04 #4).
+# Float-parity notes: the normalized weights are CAST to REAL to mirror the
+# float32 embedding storage the Spark side reads back, and every dot/norm is
+# then computed in DOUBLE — the same widen-after-quantize order as the Spark
+# plan.  The plane recipe is generated IN SQL from the same md5 formula as
+# make_planes, so no 24k-literal plane matrix is embedded.
+
+_EMB_DIM, _EMB_BANDS, _EMB_BITS = 384, 8, 8
+_HEXPOS = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+_IDX_EXPR = "(" + " + ".join(
+    f"({_HEXPOS.format(i=i + 1)}) * {16 ** (7 - i)}" for i in range(8)
+) + f") % {_EMB_DIM}"
+_SIGN_EXPR = (f"CASE WHEN ({_HEXPOS.format(i=10)}) % 2 = 1 "
+              "THEN 1.0 ELSE -1.0 END")
+
+SQL_ANN_DOCS_EMBED = f"""
+WITH toks AS (
+  SELECT doc_id, trim(t, '.,;:!?()[]{{}}"''') AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+tf AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> ''
+  GROUP BY doc_id, tok),
+hx AS (SELECT doc_id, cnt, md5(tok) AS h FROM tf),
+contrib AS (
+  SELECT doc_id, {_IDX_EXPR} AS idx,
+         {_SIGN_EXPR} * (1.0 + ln(cnt)) AS w
+  FROM hx),
+sparse AS (
+  SELECT doc_id, idx, sum(w) AS w FROM contrib
+  GROUP BY doc_id, idx HAVING sum(w) <> 0),
+zerodocs AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sparse)),
+vec0 AS (
+  SELECT doc_id, idx, w FROM sparse
+  UNION ALL SELECT doc_id, 0 AS idx, 1.0 AS w FROM zerodocs),
+norms0 AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM vec0 GROUP BY doc_id),
+vec AS (
+  SELECT v.doc_id, v.idx, CAST(v.w / n.nrm AS REAL) AS w
+  FROM vec0 v JOIN norms0 n ON n.doc_id = v.doc_id),
+planes AS (
+  SELECT p, d,
+         CASE WHEN strpos('01234567',
+              substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, {_EMB_BANDS * _EMB_BITS}) t1(p), range(0, {_EMB_DIM}) t2(d)),
+bd AS (
+  SELECT v.doc_id, pl.p, sum(CAST(v.w AS DOUBLE) * pl.s) AS dot
+  FROM vec v JOIN planes pl ON pl.d = v.idx
+  GROUP BY v.doc_id, pl.p),
+buckets AS (
+  SELECT doc_id, CAST(p // {_EMB_BITS} AS INT) AS bi,
+         CAST(sum(CASE WHEN dot > 0
+                  THEN (1 << (p % {_EMB_BITS})) ELSE 0 END) AS INT) AS bucket
+  FROM bd GROUP BY doc_id, p // {_EMB_BITS}),
+q AS (SELECT doc_id AS qid, bi, bucket FROM buckets WHERE doc_id < 20),
+cands AS (
+  SELECT DISTINCT q.qid, b.doc_id AS vec_id
+  FROM q JOIN buckets b USING (bi, bucket) WHERE b.doc_id <> q.qid),
+nrm2 AS (
+  SELECT doc_id, sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nrm
+  FROM vec GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS qid, b.doc_id AS vec_id,
+         sum(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE)) AS dot
+  FROM vec a JOIN vec b ON a.idx = b.idx
+  WHERE a.doc_id < 20 AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sims AS (
+  SELECT c.qid, c.vec_id, coalesce(d.dot, 0.0) / (nq.nrm * ne.nrm) AS cos
+  FROM cands c
+  LEFT JOIN dots d ON d.qid = c.qid AND d.vec_id = c.vec_id
+  JOIN nrm2 nq ON nq.doc_id = c.qid
+  JOIN nrm2 ne ON ne.doc_id = c.vec_id)
+SELECT qid, arg_max(vec_id, cos) AS best_neighbor,
+       round(max(cos), 4) AS best_cos
+FROM sims GROUP BY qid
+"""
 
 
 CATALOG: dict[str, tuple] = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
-    "ann_docs_embed": (q_ann_docs_embed, None),  # rows-only (see docstring)
+    "ann_docs_embed": (q_ann_docs_embed, SQL_ANN_DOCS_EMBED),
     "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
     "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

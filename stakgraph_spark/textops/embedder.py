@@ -30,7 +30,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, FloatType, LongType, StructField,
                                StructType)
@@ -140,35 +140,26 @@ def make_planes(dim: int, bands: int, bits: int) -> list[list[float]]:
     ]
 
 
-def _band_expr(band: int, bits: int, planes: list[list[float]],
-               col: str) -> Column:
-    def bit(p):
-        plane = F.array(*[F.lit(s) for s in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col(col).cast("array<double>"), plane,
-                       lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
-    return sum(bit(band * bits + p) * (2 ** p) for p in range(bits))
-
-
 def ann_lsh_best(emb: DataFrame, n_queries: int = 20, dim: int = EMBED_DIM,
                  bands: int = 8, bits: int = 8) -> DataFrame:
     """(doc_id, embedding) -> (qid, best_neighbor, best_cos) for the first
-    n_queries ids, candidates restricted to shared LSH band buckets (the
-    catalog.q_ann_lsh_best plan shape: ONE posexplode + (band, bucket)
-    equi-join, no crossJoin)."""
+    n_queries ids, candidates restricted to shared LSH band buckets.
+
+    Bucket computation is ONE vectorized mapInPandas numpy matmul
+    (catalog.lsh_buckets — replaces the round-4 per-row expression trees of
+    bands*bits aggregate(zip_with) folds); the candidate set is a narrow
+    (bi, bucket) equi-join of (id, int, int) rows, and embeddings join back
+    only for surviving pairs."""
+    from .catalog import lsh_buckets
+
     planes = make_planes(dim, bands, bits)
-    b = emb.select(
-        F.col("doc_id").alias("vec_id"), "embedding",
-        F.posexplode(F.array(*[_band_expr(i, bits, planes, "embedding")
-                               for i in range(bands)])).alias("bi", "bucket"))
-    q = (b.where(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                 "bi", "bucket"))
+    e = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    b = lsh_buckets(e, planes, bands, bits)
+    q = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "bi", "bucket")
     cands = (q.join(b, ["bi", "bucket"])
              .where(F.col("vec_id") != F.col("qid"))
-             .dropDuplicates(["qid", "vec_id"]))
+             .select("qid", "vec_id").distinct())
     dot = F.aggregate(F.zip_with(F.col("qe").cast("array<double>"),
                                  F.col("embedding").cast("array<double>"),
                                  lambda a, b: a * b),
@@ -176,9 +167,13 @@ def ann_lsh_best(emb: DataFrame, n_queries: int = 20, dim: int = EMBED_DIM,
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c.cast("array<double>"), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
-    sims = cands.select(
-        "qid", "vec_id",
-        (dot / (norm(F.col("qe")) * norm(F.col("embedding")))).alias("cos"))
+    sims = (cands
+            .join(e.select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qe")), "qid")
+            .join(e, "vec_id")
+            .select("qid", "vec_id",
+                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
+                    .alias("cos")))
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))

@@ -210,7 +210,9 @@ def test_svelte_edge_cases():
 <p>{load()}</p>
 '''
     ex = extract_svelte("src/lib/W.svelte", src)
-    assert [n.name for n in ex.nodes if n.node_type == "Function"] == ["load"]
+    # "W" is the file's implicit default-exported component (RENDERS target)
+    assert {n.name for n in ex.nodes
+            if n.node_type == "Function"} == {"load", "W"}
     # unterminated script tag
     ex = extract_svelte("src/lib/Bad.svelte", "<script>\nfunction f() {")
     assert all(n.node_type != "Endpoint" for n in ex.nodes)

@@ -71,6 +71,16 @@ ANNOTATIONS = {
 // @ast edge: Calls -> Function "validate" "lib/Person.js"
 // @ast absent: Function "  const test_person_" "test_person.svelte"
 """,
+    # synthetic supplement (not in the reference tree): a component-importing
+    # page, exercising Page -RENDERS-> default-exported component (the React
+    # path's stages.rs:339-461 analogue; VERDICT r04 #6)
+    "routes/people/+page.svelte": """
+// @ast node: Page "/people"
+// @ast edge: Renders -> Function "PersonCard" "lib/PersonCard.svelte"
+""",
+    "lib/PersonCard.svelte": """
+// @ast node: Function "PersonCard"
+""",
     "tests/integration_api.svelte": """
 // @ast node: IntegrationTest "test_get_people_endpoint" [test_kind=integration]
 // @ast edge: Calls -> Endpoint "/api/people" "+server.js" [verb=GET]
@@ -86,12 +96,31 @@ ANNOTATIONS = {
 }
 
 
+# synthetic component + page rows backing the RENDERS annotations above
+_EXTRA_ROWS = [
+    {"repo": "fixtures/svelte",
+     "path": "src/testing/svelte/src/lib/PersonCard.svelte",
+     "commit": "fixture", "lang": "svelte",
+     "content": "<script>\n  export let person;\n</script>\n\n"
+                "<div class=\"card\">{person.name}</div>\n"},
+    {"repo": "fixtures/svelte",
+     "path": "src/testing/svelte/src/routes/people/+page.svelte",
+     "commit": "fixture", "lang": "svelte",
+     "content": "<script>\n  import PersonCard from"
+                " '$lib/PersonCard.svelte';\n  export let data;\n</script>\n\n"
+                "{#each data.people as person}\n"
+                "  <PersonCard person={person} />\n{/each}\n"},
+]
+
+
 @pytest.fixture(scope="module")
 def svelte_graph(spark):
     from stakgraph_spark.pipeline import build_graph
-    from stakgraph_spark.source import fixture_source_df
+    from stakgraph_spark.schema import SOURCE_SCHEMA
+    from stakgraph_spark.source import fixture_source_rows
 
-    src = fixture_source_df(spark, {"svelte": "svelte"})
+    rows = fixture_source_rows({"svelte": "svelte"}) + _EXTRA_ROWS
+    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
     g = build_graph(spark, src)
     nodes = g.nodes.persist()
     edges = g.edges.persist()
