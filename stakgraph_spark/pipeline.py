@@ -35,6 +35,20 @@ from .source import with_skip_flags
 EDGE_COLS = ["src_key", "dst_key", "edge_type", "operand", "confidence",
              "strategy", "repo", "lang"]
 
+# Internal (link/prune plane) edge schema: endpoints are 8-byte xxhash64
+# surrogates of the canonical string keys.  The <=5000-char key strings were
+# the dominant shuffle payload of every edge dedup / prune join (measured:
+# link-plane stages scaled 1.7-2.1x of the 3.9x compute ceiling at 252k
+# files, random-gather memory traffic being the contended resource —
+# VERDICT r04 #1); hashing them off the edge rows cuts each edge's key bytes
+# from ~120-300 to 16.  Strings are re-attached from the node table exactly
+# once, at prune-time materialization.  Collision math: 64-bit keys are safe
+# to ~10^8 nodes per build (p < 1e-3); a 10^10-node corpus would widen the
+# surrogate to 128 bits (two xxhash64 calls with distinct seeds) — the
+# schema change is one column.
+EDGE_COLS_H = ["src_h", "dst_h", "edge_type", "operand", "confidence",
+               "strategy", "repo", "lang"]
+
 
 from .ckpt import ckpt as _ckpt
 
@@ -78,6 +92,21 @@ def _norm_edges(df: DataFrame) -> DataFrame:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(t))
     return df.select(*EDGE_COLS)
+
+
+def _norm_edges_h(df: DataFrame) -> DataFrame:
+    """Edge family -> internal hashed-endpoint schema (EDGE_COLS_H).
+
+    Every family computes src_key/dst_key as unevaluated projections
+    (node_key_col expressions), so wrapping them in xxhash64 here collapses
+    into the same whole-stage codegen pass — the key STRING exists only as
+    a transient register inside the stage that produces the edge row and
+    never enters a shuffle file."""
+    df = _norm_edges(df)
+    return df.select(
+        F.xxhash64("src_key").alias("src_h"),
+        F.xxhash64("dst_key").alias("dst_h"),
+        "edge_type", "operand", "confidence", "strategy", "repo", "lang")
 
 
 def file_plane(src: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -282,6 +311,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # core at high parallelism (measured 26% idle at the pinned 8-core
     # scaling leg).  The cascade's nonempty-body rule rides has_body.
     nodes = _ckpt(nodes.dropDuplicates(["node_key"])
+                  .withColumn("key_h", F.xxhash64("node_key"))
                   .withColumn("has_body",
                               (F.length(F.coalesce("body", F.lit(""))) > 0)
                               | F.col("body_mode").isNotNull()))
@@ -403,8 +433,8 @@ def build_graph(spark: SparkSession, source: DataFrame,
     inst_drop = (nodes.where((F.col("node_type") == "Instance")
                              & F.col("lang").isin(INSTANCE_FILTER_LANGS))
                  .join(class_names, ["repo", "lang", "data_type"], "left_anti")
-                 .select("node_key"))
-    nodes_no_badinst = nodes.join(inst_drop, "node_key", "left_anti")
+                 .select("key_h"))
+    nodes_no_badinst = nodes.join(inst_drop, "key_h", "left_anti")
 
     impl_m = mention.where(F.col("m_kind") == "implements").select(
         "repo", "lang", "src_name", "src_file", "src_start", "dst_name")
@@ -426,14 +456,16 @@ def build_graph(spark: SparkSession, source: DataFrame,
     handler_edges = _norm_edges(handler_edges).unionByName(
         _norm_edges(cascade_handler_edges))
     resolved_eps = hres.select(
-        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start"), F.col("src_verb")).alias("node_key")
+        F.xxhash64(
+            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
     ).distinct()
     all_cascade_eps = hm_cascade.where(~F.col("lang").isin(KEEP_ON_MISS)).select(
-        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start"), F.col("src_verb")).alias("node_key")
+        F.xxhash64(
+            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
     ).distinct()
-    dropped_endpoints = all_cascade_eps.join(resolved_eps, "node_key", "left_anti")
+    dropped_endpoints = all_cascade_eps.join(resolved_eps, "key_h", "left_anti")
 
     # set-valued mentions: intersect the per-function identifier array with
     # the per-(repo,lang) symbol-name set FIRST, explode after — a
@@ -541,31 +573,33 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # Spark already runs the union's independent branches' stages in
     # parallel).  STAKGRAPH_CONC_LINK opts back into the experiment.
     if os.environ.get("STAKGRAPH_CONC_LINK"):
-        futs = [pool.submit(lambda d=d: _ckpt(_norm_edges(d)))
+        futs = [pool.submit(lambda d=d: _ckpt(_norm_edges_h(d)))
                 for d in fams]
         checked = [f.result() for f in futs]
         edges = checked[0]
         for e in checked[1:]:
             edges = edges.unionByName(e)
     else:
-        edges = _norm_edges(fams[0])
+        edges = _norm_edges_h(fams[0])
         for e in fams[1:]:
-            edges = edges.unionByName(_norm_edges(e))
+            edges = edges.unionByName(_norm_edges_h(e))
     # BTreeSet edge dedup (btreemap_graph.rs:51-55) over the materialized
-    # family RDDs — one shuffle, shallow plan
-    edges = _ckpt(edges.dropDuplicates(["src_key", "dst_key", "edge_type"]))
+    # family RDDs — one shuffle, shallow plan.  Dedup key is the surrogate
+    # pair: a false merge needs two distinct edges colliding on BOTH 64-bit
+    # endpoint hashes with the same edge_type (p ~ 1e-20 at 10^9 edges).
+    edges = _ckpt(edges.dropDuplicates(["src_h", "dst_h", "edge_type"]))
     stage("edges_linked")
     nodes = nodes_no_badinst
 
     # endpoints whose handler failed the cascade are dropped (go & co)
     if dropped_endpoints is not None:
-        nodes = nodes.join(dropped_endpoints, "node_key", "left_anti")
+        nodes = nodes.join(dropped_endpoints, "key_h", "left_anti")
 
     # indirect integration tests: IntegrationTest -CALLS-> helper whose body
     # issues a Request matching an Endpoint -> the endpoint node gains
     # meta.indirect_test / meta.test_helper (linker.rs:94-131)
     ind = api_link.indirect_test_endpoints(nodes, edges)
-    nodes = (nodes.join(ind, "node_key", "left")
+    nodes = (nodes.join(ind, "key_h", "left")
              .withColumn(
                  "meta",
                  F.when(F.col("indirect_test").isNotNull(),
@@ -592,15 +626,16 @@ def build_graph(spark: SparkSession, source: DataFrame,
     fat_tbl = (_key(raw.where(F.col("rec") == "fat")
                     .select("node_type", "name", "file", "start", "body",
                             "meta", "repo", "lang"))
-               .select("node_key", F.col("body").alias("_fat_body"))
-               .dropDuplicates(["node_key"]))
+               .select(F.xxhash64("node_key").alias("key_h"),
+                       F.col("body").alias("_fat_body"))
+               .dropDuplicates(["key_h"]))
     src_lines = src.select(
         F.col("repo").alias("_sl_repo"), F.col("lang").alias("_sl_lang"),
         F.col("path").alias("_sl_file"),
         F.split(F.coalesce("content", F.lit("")), "\n").alias("_lines"))
     # the pruned node table already carries the payload columns (single
     # node checkpoint); only the fat companions and span text need joins
-    base = nodes.join(fat_tbl, "node_key", "left")
+    base = nodes.join(fat_tbl, "key_h", "left")
     joined = base.join(
         src_lines,
         (base["repo"] == F.col("_sl_repo"))
