@@ -304,6 +304,24 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
         if hw.get("randmem_ceiling") else None
     hi_util = max(x["core_util"] for x in r4n["runs"]) \
         if r4n["runs"] and "core_util" in r4n["runs"][0] else None
+    # narrative must follow the measured number (a round-4 report shipped
+    # "the cores are busy" next to a 0.744 utilization): below 0.9 the idle
+    # fraction — materialization-barrier tails — is named as such
+    if hi_util is None:
+        util_note = "(no per-rep CPU accounting available for this run)"
+    elif hi_util >= 0.9:
+        util_note = (
+            "the cores are essentially busy; the residual gap to 1.0 x "
+            "ideal is CPU-work inflation under memory contention (total "
+            "CPU-sec rises between the two legs for identical input), not "
+            "a driver serial section")
+    else:
+        util_note = (
+            f"i.e. ~{round((1 - hi_util) * 100)}% of core-time is IDLE — "
+            "materialization-barrier tails (stage-checkpoint stragglers) "
+            "plus any scheduler gaps; the rest of the efficiency gap is "
+            "CPU-work inflation under memory contention (total CPU-sec "
+            "rises between the two legs for identical input)")
     os.makedirs("BENCH", exist_ok=True)
     rep_rows = "\n".join(
         f"| local[{r['cpus']}] rep {i + 1} | {x['sec']} | {x['files_per_sec']} "
@@ -337,10 +355,7 @@ to the random-access ceiling: **{rel_rand}**.
 
 Serial-fraction check: at local[{n2}] the pipeline's process tree burned
 **{hi_util} of (wall x {n2} cores)** (CPU accounting over /proc, incl.
-JVM + python workers) — the cores are busy, not idle; the residual gap to
-1.0 x ideal is CPU-work inflation under memory contention (total CPU-sec
-rises between the two legs for identical input), not a driver serial
-section.
+JVM + python workers) — {util_note}.
 
 All reps (rep 1 cold JVM, rep 2+ warm JIT/codegen — the steady state of a
 long-running cluster; best-of defuses co-tenant CPU steal):

@@ -31,6 +31,17 @@ def test_python_fixture(py_graph, fixture):
     assert score >= 0.95, f"P/R {score:.3f} ({len(failures)}/{items} failed)\n{msg}"
 
 
+def test_no_surrogate_leak(py_graph):
+    """The link/prune plane joins on 8-byte xxhash64 key surrogates
+    (pipeline.EDGE_COLS_H); the PUBLIC graph schema must stay string-keyed —
+    surrogate columns must never reach graph_nodes/graph_edges."""
+    nodes, edges = py_graph
+    assert not {"key_h", "src_h", "dst_h"} & set(nodes.columns), nodes.columns
+    assert not {"key_h", "src_h", "dst_h"} & set(edges.columns), edges.columns
+    assert {"src_key", "dst_key", "edge_type"} <= set(edges.columns)
+    assert "node_key" in nodes.columns
+
+
 def test_sha256_invariant(spark, py_graph):
     """File nodes carry hash == sha2(source.content, 256) per row."""
     from pyspark.sql import functions as F
