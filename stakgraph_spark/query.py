@@ -36,6 +36,84 @@ def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
     return visited
 
 
+def search_nodes(nodes: DataFrame, search: str | None = None,
+                 node_types: list[str] | None = None,
+                 language: str | None = None,
+                 offset: int = 0, limit: int = 25) -> DataFrame:
+    """Typed, paged node listing with a case-insensitive substring filter —
+    the serving layer's query_nodes_with_count (graph_ops.rs:471-515)
+    re-expressed as a declarative DataFrame query: filters push down to the
+    graph_nodes parquet scan, and the page is a global top-K (sort + offset
+    + limit), not a full materialization.
+
+    At 100 TB, deep offset pagination is an anti-pattern (each page re-sorts
+    the filtered set); callers paging beyond a few thousand rows should
+    keyset-paginate on (node_type, node_key) instead — the sort key below is
+    chosen so that works unchanged."""
+    out = nodes
+    if node_types:
+        out = out.where(F.col("node_type").isin(node_types))
+    if language:
+        out = out.where(F.col("lang") == language)
+    if search:
+        needle = search.lower()
+        out = out.where(F.lower(F.col("name")).contains(needle)
+                        | F.lower(F.col("file")).contains(needle))
+    return (out.orderBy("node_type", "node_key")
+            .offset(offset).limit(limit))
+
+
+def vector_search(nodes: DataFrame, query: str,
+                  node_types: list[str] | None = None,
+                  similarity_threshold: float = 0.0, limit: int = 10,
+                  language: str | None = None,
+                  backend: str = "hash") -> DataFrame:
+    """Embedding similarity search over node bodies — the serving layer's
+    vector_search (graph_ops.rs:449-469; cosine per
+    neo4j/operations/embedding.rs:105) without a Neo4j vector index: node
+    bodies are embedded in one Arrow-batched mapInPandas pass (model per
+    worker, embedder.py contract) and scored against the driver-embedded
+    query vector as a single JVM-side fold per row.
+
+    Scale path: the brute-force scan is the oracle shape; a corpus-scale
+    deployment pre-materializes the embedding column once and narrows
+    candidates through the generic LSH path (textops.catalog.lsh_buckets)
+    before scoring — same score expression, bucketed candidate set."""
+    from .textops.embedder import make_embedder
+
+    emb = make_embedder(backend)
+    qv = emb.embed_batch([query])[0]
+
+    cand = nodes.where(F.length(F.coalesce("body", F.lit(""))) > 0)
+    if node_types:
+        cand = cand.where(F.col("node_type").isin(node_types))
+    if language:
+        cand = cand.where(F.col("lang") == language)
+    cand = cand.select("node_key", "node_type", "name", "file", "lang", "body")
+
+    def embed(pdfs):
+        e = make_embedder(backend)
+        for pdf in pdfs:
+            if len(pdf):
+                pdf = pdf.assign(embedding=e.embed_batch(list(pdf["body"])))
+                yield pdf.drop(columns=["body"])
+
+    embedded = cand.mapInPandas(
+        embed, ("node_key string, node_type string, name string, "
+                "file string, lang string, embedding array<float>"))
+
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q,
+                   lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    # query vector is L2-normalized by the embedder contract; node vectors
+    # likewise, so the dot IS the cosine — no per-row norm recompute
+    return (embedded.withColumn("score", dot)
+            .where(F.col("score") >= similarity_threshold)
+            .drop("embedding")
+            .orderBy(F.desc("score"), "node_key").limit(limit))
+
+
 def find_resource_nodes(nodes: DataFrame, verb: str, path: str,
                         node_type: str = "Endpoint") -> DataFrame:
     """Endpoint/Request nodes whose name contains the normalized path and
