@@ -733,8 +733,40 @@ FROM sims GROUP BY qid
 """
 
 
+def q_doc_search(spark, sf_dir):
+    """Paged substring search THROUGH the serving layer's actual operator
+    (query.search_nodes — the query_nodes_with_count shape,
+    graph_ops.rs:471-515): documents are mapped onto the node-table columns
+    (text->name, source->file, doc_id->node_key) so the DuckDB oracle
+    checks the REAL filter / deterministic-order / offset+limit expressions
+    the serving op ships, not a re-implementation."""
+    from ..query import search_nodes
+
+    d = _docs(spark, sf_dir).select(
+        F.col("lang").alias("node_type"), F.col("text").alias("name"),
+        F.col("source").alias("file"), "lang",
+        F.col("doc_id").cast("string").alias("node_key"))
+    hits = search_nodes(d, search="hash join", offset=5, limit=15)
+    return hits.select(F.col("node_key").cast("long").alias("doc_id"),
+                       "lang", F.col("file").alias("source"))
+
+
+# mirrors search_nodes exactly: case-insensitive substring on name OR file,
+# deterministic (node_type, node_key-as-string) order, offset 5 / limit 15
+SQL_DOC_SEARCH = """
+SELECT doc_id, lang, source FROM (
+  SELECT lang AS node_type, text AS name, source AS file, lang,
+         CAST(doc_id AS VARCHAR) AS node_key, doc_id, source
+  FROM documents)
+WHERE contains(lower(name), 'hash join') OR contains(lower(file), 'hash join')
+ORDER BY node_type, node_key
+LIMIT 15 OFFSET 5
+"""
+
+
 CATALOG: dict[str, tuple] = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "ann_docs_embed": (q_ann_docs_embed, SQL_ANN_DOCS_EMBED),
     "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
     "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),
