@@ -46,7 +46,8 @@ def make_spark(cpus: int):
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("stakgraph-spark-bench")
             .config("spark.driver.memory", DRIVER_MEM)
-            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.shuffle.partitions",
+                    os.environ.get("SPARK_GRAFT_SHUF") or str(max(cpus, 8)))
             .config("spark.sql.adaptive.enabled", "true")
             # keep post-shuffle parallelism at the core count: with the
             # default 64 MB advisory size AQE coalesces the link plane's
@@ -65,6 +66,20 @@ def make_spark(cpus: int):
             .config("spark.sql.autoBroadcastJoinThreshold",
                     os.environ.get("SPARK_GRAFT_BCAST", "10m"))
             .config("spark.ui.enabled", "false")
+            # constraint propagation is O(constraints x columns) per plan and
+            # the link plane's post-checkpoint plans carry hundreds of
+            # columns through dozens of joins; event-log analysis showed
+            # 71 s of the 214 s cold wall (33%) with NO stage running —
+            # driver-only Catalyst time.  Disabling it cut the cold leg
+            # 207 -> 145 s and the warm leg 144 -> 134 s at 49.4k files with
+            # identical output (it only infers redundant IsNotNull/filters
+            # that our explicit join conditions already carry).
+            .config("spark.sql.constraintPropagation.enabled", "false")
+            # diagnostics: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (e.g. event logs
+            # for task-level straggler analysis)
+            .config(
+                map=dict(kv.split("=", 1) for kv in os.environ.get(
+                    "SPARK_GRAFT_EXTRA_CONF", "").split(";") if "=" in kv))
             .getOrCreate())
 
 
@@ -144,19 +159,38 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
     JIT output are cached across jobs).  Best-of also defuses host-level CPU
     steal from co-tenant VMs (observed 2x wall-time swings between identical
     runs on this container)."""
+    import threading
+
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     runs = []
     files = stats = None
     for _ in range(reps):
-        c0 = _tree_cpu_sec()
+        # sample the tree CPU on a timeline so idle can be LOCALIZED to a
+        # stage, not just reported as a run-wide fraction (the round-4/5
+        # reports could only say "~28% idle somewhere")
+        samples: list[tuple[float, float]] = [(0.0, _tree_cpu_sec())]
+        stop = threading.Event()
+        t0 = time.time()
+
+        def _sampler():
+            while not stop.wait(0.5):
+                samples.append((time.time() - t0, _tree_cpu_sec()))
+
+        thr = threading.Thread(target=_sampler, daemon=True)
+        thr.start()
+        c0 = samples[0][1]
         files, dt, stats = kg_build_files_sec(spark, copies)
         cpu = _tree_cpu_sec() - c0
+        stop.set()
+        thr.join(timeout=2)
         runs.append({"sec": round(dt, 3),
                      "files_per_sec": round(files / dt, 2),
                      "cpu_sec": round(cpu, 1),
                      "core_util": round(cpu / (dt * cpus), 3),
-                     "stages": stats["stages"]})
+                     "stages": stats["stages"],
+                     "stage_util": _stage_util(stats["stages"], samples,
+                                               cpus)})
         # release the previous rep's localCheckpoint RDD blocks before the
         # next rep (ContextCleaner unpersists once the python refs drop)
         import gc
@@ -167,6 +201,42 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
             "files_per_sec": best["files_per_sec"], "runs": runs,
             "nodes": stats["nodes"], "edges": stats["edges"],
             "stages": best["stages"]}
+
+
+def _stage_util(stages: list[dict], samples: list[tuple[float, float]],
+                cpus: int) -> list[dict]:
+    """Per-stage core utilization from the sampled (elapsed, tree-CPU)
+    timeline: for each stage span [prev_t, t) interpolate the CPU counter at
+    the boundaries and divide the burn by the span's core-seconds.  The
+    sampler and the pipeline's stage clock start within ~ms of each other
+    (both anchored right before build_graph), so boundary skew is bounded by
+    one sample interval."""
+    if len(samples) < 2:
+        return []
+
+    def cpu_at(t: float) -> float:
+        lo = samples[0]
+        for s in samples:
+            if s[0] >= t:
+                hi = s
+                if hi[0] == lo[0]:
+                    return hi[1]
+                w = (t - lo[0]) / (hi[0] - lo[0])
+                return lo[1] + w * (hi[1] - lo[1])
+            lo = s
+        return samples[-1][1]
+
+    out = []
+    prev = 0.0
+    for st in stages:
+        t = st["t"]
+        span = t - prev
+        if span > 0.5:  # sub-sample spans carry no signal
+            burn = cpu_at(t) - cpu_at(prev)
+            out.append({"stage": st["stage"], "dt": round(span, 1),
+                        "util": round(burn / (span * cpus), 3)})
+        prev = t
+    return out
 
 
 def _hw_burn(n):  # module-level: must be picklable for mp.Pool

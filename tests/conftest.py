@@ -14,6 +14,10 @@ def spark():
          .appName("stakgraph-spark-tests")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.adaptive.enabled", "true")
+         # same planner config as bench.py: constraint propagation is pure
+         # Catalyst overhead on the link plane's wide join plans (see
+         # bench.py make_spark) — tests must exercise the shipped config
+         .config("spark.sql.constraintPropagation.enabled", "false")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "16g")
          .getOrCreate())
