@@ -9,8 +9,12 @@ max_hops — the BackendTester's transitive endpoint->handler->DataModel check
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"[^a-z0-9_]+")
 
 
 def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
@@ -34,6 +38,116 @@ def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  edge_types: list[str] | None = None,
+                  max_hops: int = 10) -> DataFrame:
+    """Minimum hop count from `seeds` (single column `node_key`) to every
+    reachable node within max_hops — the distance core of the serving
+    layer's shortest-path op (reference neo4j/graph_ops.rs:449-604,
+    apoc/Cypher shortestPath) as iterative distributed frontier joins.
+
+    Each hop is one equi-join of the (small) frontier against the edge
+    table; visited-set semantics make each node's first discovery its BFS
+    distance.  The loop is driver-side but bounded by max_hops and moves no
+    rows through the driver.  At cluster scale the edge table should be
+    pre-partitioned on src_key so every hop's join is co-located."""
+    e = edges
+    if edge_types is not None:
+        e = e.where(F.col("edge_type").isin(edge_types))
+    e = e.select(F.col("src_key").alias("node_key"),
+                 F.col("dst_key").alias("next_key"))
+    visited = (seeds.select("node_key").distinct()
+               .withColumn("dist", F.lit(0)).localCheckpoint())
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, "node_key")
+               .select(F.col("next_key").alias("node_key")).distinct()
+               .join(visited.select("node_key"), "node_key", "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def shortest_path(edges: DataFrame, src_key: str, dst_key: str,
+                  edge_types: list[str] | None = None,
+                  max_hops: int = 10) -> list[str]:
+    """One shortest src->dst path (node keys in order, [] if unreachable
+    within max_hops) — the MCP shortest-path surface
+    (neo4j/graph_ops.rs:449-604).  Forward BFS records a deterministic
+    min() parent per first-discovered node; the backtrack walks at most
+    max_hops single-row lookups, so only O(path length) rows ever reach
+    the driver."""
+    e = edges
+    if edge_types is not None:
+        e = e.where(F.col("edge_type").isin(edge_types))
+    e = e.select(F.col("src_key").alias("node_key"),
+                 F.col("dst_key").alias("next_key"))
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(src_key,)], "node_key string") \
+        .localCheckpoint()
+    frontier = visited
+    parents: list[DataFrame] = []   # hop i: (node_key, parent)
+    found = src_key == dst_key
+    hops = 0
+    while not found and hops < max_hops:
+        hops += 1
+        step = (frontier.join(e, "node_key")
+                .groupBy(F.col("next_key").alias("nk"))
+                .agg(F.min("node_key").alias("parent"))
+                .select(F.col("nk").alias("node_key"), "parent")
+                .join(visited, "node_key", "left_anti")
+                .localCheckpoint())
+        if step.isEmpty():
+            return []
+        parents.append(step)
+        found = not step.where(F.col("node_key") == dst_key).isEmpty()
+        visited = visited.unionByName(step.select("node_key")) \
+            .localCheckpoint()
+        frontier = step.select("node_key")
+    if not found:
+        return []
+    path = [dst_key]
+    for i in range(len(parents) - 1, -1, -1):
+        row = parents[i].where(F.col("node_key") == path[-1]).collect()
+        path.append(row[0]["parent"])
+    return list(reversed(path))
+
+
+def fulltext_search(nodes: DataFrame, query: str,
+                    node_types: list[str] | None = None,
+                    limit: int = 25) -> DataFrame:
+    """Ranked keyword search over node name+body — the serving layer's
+    fulltext index surface (reference neo4j/connection.rs:52-66 creates a
+    Lucene fulltext index over node names/bodies) re-expressed without an
+    index server: tokenize each node's name+body JVM-side, count
+    occurrences of the query's terms, rank by total matches.
+
+    Plan shape at scale: the token explode is a flatMap (no shuffle), the
+    query-term probe is a broadcast semi-join against a literal array, and
+    the score is one hash aggregation on node_key — top-K via TakeOrdered.
+    A deployment that serves many queries materializes the exploded
+    (term, node_key) inverted index once and equi-joins per query instead."""
+    terms = [t for t in _TOKEN_RE.split(query.lower()) if t]
+    if not terms:
+        return nodes.select("node_key", "node_type", "name", "file",
+                            F.lit(0).cast("long").alias("score")).limit(0)
+    cand = nodes
+    if node_types:
+        cand = cand.where(F.col("node_type").isin(node_types))
+    toks = cand.select(
+        "node_key", "node_type", "name", "file",
+        F.explode(F.split(F.lower(F.concat_ws(" ", "name", "body")),
+                          _TOKEN_RE.pattern)).alias("term"))
+    hits = toks.where(F.col("term").isin(terms))
+    return (hits.groupBy("node_key", "node_type", "name", "file")
+            .agg(F.count("*").alias("score"))
+            .orderBy(F.desc("score"), "node_key").limit(limit))
 
 
 def search_nodes(nodes: DataFrame, search: str | None = None,

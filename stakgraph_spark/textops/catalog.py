@@ -764,9 +764,89 @@ LIMIT 15 OFFSET 5
 """
 
 
+def q_doc_fulltext(spark, sf_dir):
+    """Ranked keyword search THROUGH the serving layer's fulltext operator
+    (query.fulltext_search — the Lucene fulltext-index surface of
+    neo4j/connection.rs:52-66, re-expressed as tokenize + broadcast term
+    probe + one hash aggregation): documents ride the node-table columns
+    (source->name, text->body, doc_id->node_key) so the oracle checks the
+    REAL tokenizer / scoring / ranking expressions the serving op ships."""
+    from ..query import fulltext_search
+
+    d = _docs(spark, sf_dir).select(
+        F.lit("Doc").alias("node_type"), F.col("source").alias("name"),
+        F.col("source").alias("file"), F.col("text").alias("body"),
+        F.col("doc_id").cast("string").alias("node_key"))
+    hits = fulltext_search(d, "hash join merge", limit=20)
+    return hits.select(F.col("node_key").cast("long").alias("doc_id"),
+                       "score")
+
+
+# mirrors fulltext_search exactly: tokenize lower(name+' '+body) on
+# [^a-z0-9_]+, count rows whose token is a query term, rank (score desc,
+# node_key-as-string asc), limit 20
+SQL_DOC_FULLTEXT = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS node_key,
+         unnest(string_split_regex(lower(source || ' ' || text),
+                                   '[^a-z0-9_]+')) AS term
+  FROM documents),
+hits AS (
+  SELECT node_key, count(*) AS score FROM toks
+  WHERE term IN ('hash', 'join', 'merge') GROUP BY node_key)
+SELECT CAST(node_key AS BIGINT) AS doc_id, score
+FROM hits ORDER BY score DESC, node_key LIMIT 20
+"""
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Bounded BFS distances THROUGH the serving layer's traversal core
+    (query.bfs_distances — the distance half of the shortest-path surface,
+    neo4j/graph_ops.rs:449-604) over a deterministic synthetic graph: every
+    doc_id links to (id*7+3) mod N and (id*11+5) mod N, seed node 0,
+    6 hops.  The DuckDB oracle is a recursive CTE over the same generator —
+    an independent engine's BFS semantics checking the iterative
+    frontier-join loop (first discovery == min distance, visited-set
+    anti-join, hop bound)."""
+    from ..query import bfs_distances
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    mk = (lambda a, b: d.select(
+        F.col("doc_id").cast("string").alias("src_key"),
+        ((F.col("doc_id") * a + b) % n).cast("string").alias("dst_key")))
+    edges = mk(7, 3).unionByName(mk(11, 5)) \
+        .withColumn("edge_type", F.lit("Link"))
+    seeds = spark.createDataFrame([("0",)], "node_key string")
+    res = bfs_distances(edges, seeds, max_hops=6)
+    return res.select(F.col("node_key").cast("long").alias("doc_id"),
+                      F.col("dist").cast("int").alias("dist"))
+
+
+SQL_GRAPH_BFS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * 11 + 5) % (SELECT count(*) FROM documents)
+  FROM documents),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.dist < 6)
+SELECT node AS doc_id, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 CATALOG: dict[str, tuple] = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
+    "doc_fulltext": (q_doc_fulltext, SQL_DOC_FULLTEXT),
+    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
     "ann_docs_embed": (q_ann_docs_embed, SQL_ANN_DOCS_EMBED),
     "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
     "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),

@@ -85,3 +85,68 @@ def test_vector_search_exact_body_is_near_perfect(nodes):
     res = vector_search(nodes, body, limit=1).collect()
     assert res[0]["name"] == "render_chart"
     assert res[0]["score"] > 0.99  # same text => cosine ~ 1 (float32 storage)
+
+
+@pytest.fixture(scope="module")
+def toy_edges(spark):
+    # a -> b -> c -> e ;  a -> d -> e ;  f isolated-ish (e -> f)
+    rows = [("a", "b"), ("b", "c"), ("c", "e"), ("a", "d"), ("d", "e"),
+            ("e", "f")]
+    return spark.createDataFrame(
+        [{"src_key": s, "dst_key": d, "edge_type": "Calls"} for s, d in rows])
+
+
+def test_bfs_distances_min_hops(spark, toy_edges):
+    from stakgraph_spark.query import bfs_distances
+
+    seeds = spark.createDataFrame([("a",)], "node_key string")
+    got = {r["node_key"]: r["dist"]
+           for r in bfs_distances(toy_edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2, "f": 3}
+
+
+def test_bfs_distances_hop_bound_and_edge_types(spark, toy_edges):
+    from stakgraph_spark.query import bfs_distances
+
+    seeds = spark.createDataFrame([("a",)], "node_key string")
+    got = {r["node_key"]: r["dist"]
+           for r in bfs_distances(toy_edges, seeds, max_hops=1).collect()}
+    assert got == {"a": 0, "b": 1, "d": 1}
+    assert bfs_distances(toy_edges, seeds,
+                         edge_types=["Handler"]).count() == 1  # seed only
+
+
+def test_shortest_path_returns_one_min_path(toy_edges):
+    from stakgraph_spark.query import shortest_path
+
+    path = shortest_path(toy_edges, "a", "e")
+    assert path in (["a", "b", "c", "e"], ["a", "d", "e"])
+    assert path == ["a", "d", "e"]  # BFS => the 2-hop path, not the 3-hop
+    assert shortest_path(toy_edges, "a", "a") == ["a"]
+    assert shortest_path(toy_edges, "f", "a") == []          # unreachable
+    assert shortest_path(toy_edges, "a", "f", max_hops=2) == []  # bound
+
+
+def test_fulltext_search_ranks_by_term_matches(nodes):
+    from stakgraph_spark.query import fulltext_search
+
+    res = fulltext_search(nodes, "person db").collect()
+    scores = {r["name"]: r["score"] for r in res}
+    # whole-token matching: `get_person` the NAME is one token (underscores
+    # stay inside tokens), but its body's `db.query(Person)` still yields
+    # person+db -> score 2, tying the Person class (name + body mention)
+    assert scores["get_person"] == 2 and scores["Person"] == 2
+    assert res[0]["name"] == "Person"  # deterministic node_key tiebreak
+    assert "render_chart" not in scores
+    assert all(s >= 1 for s in scores.values())
+    assert [r["score"] for r in res] == sorted(
+        [r["score"] for r in res], reverse=True)
+
+
+def test_fulltext_search_type_filter_and_empty_query(nodes):
+    from stakgraph_spark.query import fulltext_search
+
+    typed = fulltext_search(nodes, "person", node_types=["Class"]).collect()
+    assert [r["name"] for r in typed] == ["Person"]
+    assert fulltext_search(nodes, "").count() == 0
+    assert fulltext_search(nodes, "%%% !!!").count() == 0
