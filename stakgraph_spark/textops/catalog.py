@@ -764,6 +764,102 @@ LIMIT 15 OFFSET 5
 """
 
 
+def q_ann_ivf_best(spark, sf_dir):
+    """IVF-Flat ANN (the inverted-file scale path next to the LSH one):
+    sampled centroids (every 25th vector — the standard sample-centroids
+    coarse quantizer, deterministic here instead of k-means iterations),
+    every vector assigned to its nearest centroid, queries probe their 3
+    nearest centroid lists and score exactly within them.
+
+    Plan shape at scale: the centroid table is tiny and broadcast to both
+    the assignment and the probe join; assignment is one narrow
+    (vec_id, cid) table partitioned by cid — probing is an equi-join on
+    cid, so a query touches only nprobe/K of the corpus, and the full
+    embedding column is joined back only for surviving candidates."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dotc = F.aggregate(F.zip_with(F.col("embedding").cast("array<double>"),
+                                  F.col("ce").cast("array<double>"),
+                                  lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c.cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    ass0 = (e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid",
+                    (dotc / (norm(F.col("embedding")) * norm(F.col("ce"))))
+                    .alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (ass0.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1).select("vec_id", "cid"))
+    probes = (ass0.where(F.col("vec_id") < 20)
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= 3)
+              .select(F.col("vec_id").alias("qid"), "cid"))
+    cands = (probes.join(assign, "cid")
+             .where(F.col("vec_id") != F.col("qid"))
+             .select("qid", "vec_id").distinct())
+    dot = F.aggregate(F.zip_with(F.col("qe").cast("array<double>"),
+                                 F.col("embedding").cast("array<double>"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sims = (cands
+            .join(e.select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qe")), "qid")
+            .join(e, "vec_id")
+            .select("qid", "vec_id",
+                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
+                    .alias("cos")))
+    return (sims.groupBy("qid")
+            .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
+                 F.round(F.max("cos"), 4).alias("best_cos")))
+
+
+SQL_ANN_IVF_BEST = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+ass0 AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                    CAST(c.ce AS DOUBLE[])))) AS cos
+  FROM embeddings e, cents c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM ass0)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ass0 WHERE vec_id < 20)
+  WHERE rn <= 3),
+cands AS (
+  SELECT DISTINCT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)
+  WHERE a.vec_id <> p.qid),
+sims AS (
+  SELECT c.qid, c.vec_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))) AS cos
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id)
+SELECT qid, arg_max(vec_id, cos) AS best_neighbor,
+       round(max(cos), 4) AS best_cos
+FROM sims GROUP BY qid
+"""
+
+
 def q_doc_fulltext(spark, sf_dir):
     """Ranked keyword search THROUGH the serving layer's fulltext operator
     (query.fulltext_search — the Lucene fulltext-index surface of
@@ -846,6 +942,7 @@ CATALOG: dict[str, tuple] = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "doc_fulltext": (q_doc_fulltext, SQL_DOC_FULLTEXT),
+    "ann_ivf_best": (q_ann_ivf_best, SQL_ANN_IVF_BEST),
     "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
     "ann_docs_embed": (q_ann_docs_embed, SQL_ANN_DOCS_EMBED),
     "doc_sha256": (q_doc_sha256, SQL_DOC_SHA256),
