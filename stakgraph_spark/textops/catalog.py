@@ -776,29 +776,48 @@ def q_ann_ivf_best(spark, sf_dir):
     (vec_id, cid) table partitioned by cid — probing is an equi-join on
     cid, so a query touches only nprobe/K of the corpus, and the full
     embedding column is joined back only for surviving candidates."""
-    from pyspark.sql.window import Window
+    import pandas as pd
 
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    dotc = F.aggregate(F.zip_with(F.col("embedding").cast("array<double>"),
-                                  F.col("ce").cast("array<double>"),
-                                  lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, x: acc + x)
+    # centroid matrix rides to the workers as a closure broadcast (K = N/25
+    # rows — a few 10k even at corpus scale); the assignment/probe step is
+    # ONE mapInPandas matmul per batch, not a per-pair Catalyst fold (the
+    # fold version measured 15.5 s at sf0.1; per-pair expression
+    # interpretation is exactly the round-4 LSH-banding mistake).  Rows
+    # sorted by cid so argmax's first-max tiebreak == (cos DESC, cid ASC).
+    cent_rows = sorted(
+        e.where(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    cids = _np.array([r["vec_id"] for r in cent_rows], dtype=_np.int64)
+    C = _np.array([r["embedding"] for r in cent_rows], dtype=_np.float64)
+    Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign_probe(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            V = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            S = (V / _np.linalg.norm(V, axis=1, keepdims=True)) @ Cn.T
+            ids = pdf["vec_id"].to_numpy()
+            out = {"vec_id": ids, "cid": cids[S.argmax(axis=1)],
+                   "kind": _np.zeros(len(ids), dtype=_np.int32)}
+            qm = ids < 20
+            if qm.any():
+                top3 = _np.argsort(-S[qm], axis=1, kind="stable")[:, :3]
+                out = {k: _np.concatenate([v, x]) for (k, v), x in zip(
+                    out.items(),
+                    (_np.repeat(ids[qm], 3), cids[top3.reshape(-1)],
+                     _np.ones(int(qm.sum()) * 3, dtype=_np.int32)))}
+            yield pd.DataFrame(out)
+
+    ap = e.select("vec_id", "embedding").mapInPandas(
+        assign_probe, "vec_id long, cid long, kind int").cache()
+    assign = ap.where(F.col("kind") == 0).select("vec_id", "cid")
+    probes = ap.where(F.col("kind") == 1).select(
+        F.col("vec_id").alias("qid"), "cid")
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c.cast("array<double>"), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
-    ass0 = (e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid",
-                    (dotc / (norm(F.col("embedding")) * norm(F.col("ce"))))
-                    .alias("cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    assign = (ass0.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1).select("vec_id", "cid"))
-    probes = (ass0.where(F.col("vec_id") < 20)
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= 3)
-              .select(F.col("vec_id").alias("qid"), "cid"))
     cands = (probes.join(assign, "cid")
              .where(F.col("vec_id") != F.col("qid"))
              .select("qid", "vec_id").distinct())
