@@ -26,8 +26,12 @@ def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
     e = (edges.where(F.col("edge_type").isin(edge_types))
          .select(F.col("src_key").alias("node_key"),
                  F.col("dst_key").alias("next_key")))
-    visited = seeds.select("node_key").distinct().localCheckpoint()
-    frontier = visited
+    # visited is a LAZY union of per-hop checkpointed frontiers: each hop's
+    # anti-join scans the same total rows either way, but this never
+    # rewrites the accumulated set (the old per-hop visited checkpoint was
+    # O(V x hops) copy work)
+    frontier = seeds.select("node_key").distinct().localCheckpoint()
+    visited = frontier
     for _ in range(max_hops):
         nxt = (frontier.join(e, "node_key")
                .select(F.col("next_key").alias("node_key")).distinct()
@@ -35,7 +39,7 @@ def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
                .localCheckpoint())
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -58,9 +62,10 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
         e = e.where(F.col("edge_type").isin(edge_types))
     e = e.select(F.col("src_key").alias("node_key"),
                  F.col("dst_key").alias("next_key"))
-    visited = (seeds.select("node_key").distinct()
-               .withColumn("dist", F.lit(0)).localCheckpoint())
-    frontier = visited
+    # same lazy-union visited accumulation as k_hop (no per-hop rewrite)
+    frontier = (seeds.select("node_key").distinct()
+                .withColumn("dist", F.lit(0)).localCheckpoint())
+    visited = frontier
     for hop in range(1, max_hops + 1):
         nxt = (frontier.join(e, "node_key")
                .select(F.col("next_key").alias("node_key")).distinct()
@@ -69,7 +74,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
                .localCheckpoint())
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -107,8 +112,7 @@ def shortest_path(edges: DataFrame, src_key: str, dst_key: str,
             return []
         parents.append(step)
         found = not step.where(F.col("node_key") == dst_key).isEmpty()
-        visited = visited.unionByName(step.select("node_key")) \
-            .localCheckpoint()
+        visited = visited.unionByName(step.select("node_key"))
         frontier = step.select("node_key")
     if not found:
         return []
