@@ -32,7 +32,7 @@ COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
 
 BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
                  "quality_score", "ann_best_neighbor", "ann_lsh_best",
-                 "ann_ivf_best", "ngram_jaccard", "doc_fulltext", "graph_bfs",
+                 "ann_ivf_best", "ngram_jaccard", "doc_fulltext",
                  "link_cascade_resolve", "link_path_match",
                  "link_library_uses", "pricing_summary", "top_nation_revenue",
                  "event_sessions"]
