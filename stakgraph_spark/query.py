@@ -154,6 +154,40 @@ def fulltext_search(nodes: DataFrame, query: str,
             .orderBy(F.desc("score"), "node_key").limit(limit))
 
 
+def build_fulltext_index(nodes: DataFrame) -> DataFrame:
+    """Materialize the (term, node_key, tf) inverted index once — the
+    many-queries deployment shape for fulltext_search (the reference keeps
+    a standing Lucene index, connection.rs:52-66).  Write it out
+    partitioned/bucketed by term so every query's probe is a pruned scan +
+    co-located join instead of a full tokenize pass over node bodies."""
+    toks = nodes.select(
+        "node_key", "node_type", "name", "file",
+        F.explode(F.split(F.lower(F.concat_ws(" ", "name", "body")),
+                          _TOKEN_RE.pattern)).alias("term"))
+    return (toks.where(F.col("term") != "")
+            .groupBy("term", "node_key", "node_type", "name", "file")
+            .agg(F.count("*").alias("tf")))
+
+
+def fulltext_search_indexed(index: DataFrame, query: str,
+                            node_types: list[str] | None = None,
+                            limit: int = 25) -> DataFrame:
+    """fulltext_search served from a pre-built inverted index — identical
+    results (tested), but per-query cost is one pruned probe of the index
+    instead of re-tokenizing every node body."""
+    terms = [t for t in _TOKEN_RE.split(query.lower()) if t]
+    out_cols = ["node_key", "node_type", "name", "file"]
+    if not terms:
+        return index.select(*out_cols,
+                            F.lit(0).cast("long").alias("score")).limit(0)
+    hits = index.where(F.col("term").isin(terms))
+    if node_types:
+        hits = hits.where(F.col("node_type").isin(node_types))
+    return (hits.groupBy(*out_cols)
+            .agg(F.sum("tf").alias("score"))
+            .orderBy(F.desc("score"), "node_key").limit(limit))
+
+
 def search_nodes(nodes: DataFrame, search: str | None = None,
                  node_types: list[str] | None = None,
                  language: str | None = None,

@@ -150,3 +150,16 @@ def test_fulltext_search_type_filter_and_empty_query(nodes):
     assert [r["name"] for r in typed] == ["Person"]
     assert fulltext_search(nodes, "").count() == 0
     assert fulltext_search(nodes, "%%% !!!").count() == 0
+
+
+def test_fulltext_indexed_matches_direct(nodes):
+    from stakgraph_spark.query import (build_fulltext_index, fulltext_search,
+                                       fulltext_search_indexed)
+
+    idx = build_fulltext_index(nodes)
+    for q, types in [("person db", None), ("person", ["Class"]),
+                     ("chart data svg", None), ("", None)]:
+        direct = sorted(map(tuple, fulltext_search(nodes, q, types).collect()))
+        via_idx = sorted(map(tuple,
+                             fulltext_search_indexed(idx, q, types).collect()))
+        assert direct == via_idx, q
