@@ -30,10 +30,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
 
+# headline list: every throughput-representative catalog query, including
+# the heaviest embed-path one (ann_docs_embed — VERDICT r05 #4).  graph_bfs
+# stays excluded deliberately: it is per-job fixed cost on a 500-row graph
+# (commit 6e0a584), not a throughput signal.
 BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
                  "quality_score", "ann_best_neighbor", "ann_lsh_best",
-                 "ann_ivf_best", "ngram_jaccard", "doc_fulltext",
-                 "link_cascade_resolve", "link_path_match",
+                 "ann_ivf_best", "ann_docs_embed", "ngram_jaccard",
+                 "doc_fulltext", "link_cascade_resolve", "link_path_match",
                  "link_library_uses", "pricing_summary", "top_nation_revenue",
                  "event_sessions"]
 
@@ -47,8 +51,14 @@ def make_spark(cpus: int):
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("stakgraph-spark-bench")
             .config("spark.driver.memory", DRIVER_MEM)
+            # 4 waves per shuffle stage: at cpus partitions every checkpoint
+            # job's final stage was ONE wave of fat tasks — any per-task
+            # variance idled the other cores for the whole tail (r5 legs:
+            # nodes_assembled 0.36-0.41 core-util).  AQE (parallelismFirst,
+            # 1m min) still coalesces SMALL shuffles down to ~cpus, so this
+            # only splits the stages that were tail-bound.
             .config("spark.sql.shuffle.partitions",
-                    os.environ.get("SPARK_GRAFT_SHUF") or str(max(cpus, 8)))
+                    os.environ.get("SPARK_GRAFT_SHUF") or str(4 * cpus))
             .config("spark.sql.adaptive.enabled", "true")
             # keep post-shuffle parallelism at the core count: with the
             # default 64 MB advisory size AQE coalesces the link plane's
@@ -102,13 +112,20 @@ def stage_corpus(spark, copies: int) -> tuple[str, int]:
     return path, len(rows)
 
 
-def kg_build_files_sec(spark, copies: int) -> tuple[int, float, dict]:
+def kg_build_files_sec(spark, copies: int,
+                       on_start=None) -> tuple[int, float, dict]:
     """Build the graph over the replicated fixture corpus; -> (files, sec,
-    size stats)."""
+    size stats).  `on_start` (if given) fires immediately before
+    build_graph, next to the stage-clock anchor — so a caller's CPU/util
+    sampler shares the same t=0 as the per-stage timestamps and a cold
+    /tmp corpus write can't be misattributed to the earliest stages
+    (ADVICE r05)."""
     from stakgraph_spark.pipeline import build_graph
 
     path, n_files = stage_corpus(spark, copies)
     src = spark.read.parquet(path)
+    if on_start is not None:
+        on_start()
     t0 = time.time()
     g = build_graph(spark, src)
     nodes = g.nodes.count()
@@ -169,22 +186,32 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
     for _ in range(reps):
         # sample the tree CPU on a timeline so idle can be LOCALIZED to a
         # stage, not just reported as a run-wide fraction (the round-4/5
-        # reports could only say "~28% idle somewhere")
-        samples: list[tuple[float, float]] = [(0.0, _tree_cpu_sec())]
+        # reports could only say "~28% idle somewhere").  The sampler's t=0
+        # is anchored INSIDE kg_build_files_sec immediately before
+        # build_graph — the same instant as the pipeline's stage clock — so
+        # a cold /tmp corpus write is not misattributed to the earliest
+        # stages (ADVICE r05).
+        samples: list[tuple[float, float]] = []
         stop = threading.Event()
-        t0 = time.time()
+        state: dict = {}
 
-        def _sampler():
-            while not stop.wait(0.5):
-                samples.append((time.time() - t0, _tree_cpu_sec()))
+        def _start_sampler():
+            state["t0"] = time.time()
+            samples.append((0.0, _tree_cpu_sec()))
 
-        thr = threading.Thread(target=_sampler, daemon=True)
-        thr.start()
-        c0 = samples[0][1]
-        files, dt, stats = kg_build_files_sec(spark, copies)
-        cpu = _tree_cpu_sec() - c0
+            def _sampler():
+                while not stop.wait(0.5):
+                    samples.append((time.time() - state["t0"],
+                                    _tree_cpu_sec()))
+
+            state["thr"] = threading.Thread(target=_sampler, daemon=True)
+            state["thr"].start()
+
+        files, dt, stats = kg_build_files_sec(spark, copies,
+                                              on_start=_start_sampler)
+        cpu = _tree_cpu_sec() - samples[0][1]
         stop.set()
-        thr.join(timeout=2)
+        state["thr"].join(timeout=2)
         runs.append({"sec": round(dt, 3),
                      "files_per_sec": round(files / dt, 2),
                      "cpu_sec": round(cpu, 1),
@@ -192,8 +219,13 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
                      "stages": stats["stages"],
                      "stage_util": _stage_util(stats["stages"], samples,
                                                cpus)})
-        # release the previous rep's localCheckpoint RDD blocks before the
-        # next rep (ContextCleaner unpersists once the python refs drop)
+        # release this rep's localCheckpoint RDD blocks SYNCHRONOUSLY before
+        # the next rep — ContextCleaner's async unpersist lagged into the
+        # next rep's extraction (rep-2 nodes_assembled ran 1.2-1.6x rep 1 at
+        # 0.36-0.41 core-util in the r5 legs while old blocks squatted in
+        # the storage pool)
+        from stakgraph_spark.ckpt import release_all
+        release_all()
         import gc
         gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -341,12 +373,59 @@ def _tree_cpu_sec() -> float:
     return sum(procs[p][1] for p in desc if p in procs) / 100.0
 
 
+def gate_calibration(levels: tuple[int, int],
+                     lo: float = 0.48, hi: float = 1.05,
+                     max_probes: int = 20, sleep_s: int = 60) -> list[float]:
+    """Round-5 protocol, now in code: launch a scaling pair only after TWO
+    consecutive random-gather calibration probes land in [lo, hi] — a probe
+    outside the band means a co-tenant is squatting on the memory system
+    and the pair would measure the neighbor, not the pipeline (the excluded
+    r5 run's own calibration read 0.366 and one rep's cascade stage ran at
+    0.08 core-util).  Returns the accepted probe values; raises after
+    max_probes so an unusable window fails loudly instead of burning hours."""
+    import multiprocessing as mp
+
+    pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
+
+    def probe() -> float:
+        vals = []
+        for workers in levels:
+            if pin:
+                p = mp.Pool(workers, initializer=_pin_init, initargs=(workers,))
+            else:
+                p = mp.Pool(workers)
+            with p:
+                t0 = time.time()
+                p.map(_hw_burn_rand, list(range(workers)))
+                vals.append(workers / (time.time() - t0))
+        span = levels[1] / levels[0]
+        return round((vals[1] / vals[0]) / span, 3)
+
+    ok: list[float] = []
+    for i in range(max_probes):
+        v = probe()
+        print(f"# gate probe {i + 1}: randmem ceiling {v}", file=sys.stderr)
+        if lo <= v <= hi:
+            ok.append(v)
+            if len(ok) >= 2:
+                return ok
+        else:
+            ok = []
+            time.sleep(sleep_s)
+    raise RuntimeError(
+        f"calibration gate: no 2 consecutive probes in [{lo}, {hi}] after "
+        f"{max_probes} attempts — machine contended, not a usable window")
+
+
 def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
-                reps: int = 2) -> None:
+                reps: int = 2, tag: str = "",
+                hw0: dict | None = None,
+                flip_order: bool = False) -> dict:
     os.makedirs("BENCH", exist_ok=True)
     # calibrate FIRST and persist every leg as it lands: a late failure must
     # never lose an hour-long measurement again
-    hw0 = hw_calibration(levels)
+    if hw0 is None:
+        hw0 = hw_calibration(levels)
     # SPARK_GRAFT_PIN=1 pins each leg's WHOLE process tree (JVM, python
     # workers, GC/compiler threads) to exactly N cores via taskset — the
     # faithful reading of the north rule's "N vs 4N cores".  Unpinned
@@ -354,8 +433,13 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
     # the machine's other cores, inflating the low leg's rate (measured
     # core_util 1.1 at local[2]) and depressing the reported efficiency.
     pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
-    results = []
-    for cpus in levels:
+    by_cpus = {}
+    # flip_order runs the high leg first — alternating leg order across a
+    # multi-pair session decorrelates slow co-tenant drift from the
+    # leg-order covariate (the r5 single-pair headline was vulnerable to
+    # exactly that: a throttled low leg flatters efficiency)
+    order = list(reversed(levels)) if flip_order else list(levels)
+    for cpus in order:
         cmd = [sys.executable, __file__, "--kg-only", str(cpus), str(copies),
                str(reps)]
         if pin:
@@ -363,10 +447,11 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=14000)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
-        with open(f"BENCH/leg_local{cpus}_c{copies}.json", "w") as f:
+        by_cpus[cpus] = json.loads(line)
+        with open(f"BENCH/leg_local{cpus}_c{copies}{tag}.json", "w") as f:
             f.write(line)
-    rn, r4n = results
+    rn, r4n = by_cpus[levels[0]], by_cpus[levels[1]]
+    results = [rn, r4n]
     n1, n2 = levels
     eff = (r4n["files_per_sec"] / rn["files_per_sec"]) / (n2 / n1)
     hw = hw0
@@ -402,7 +487,7 @@ def run_scaling(copies: int, levels: tuple[int, int] = (2, 8),
                 "faithful N-vs-4N-cores reading)" if pin else
                 " — unpinned local[N] (aux threads free-ride; low leg's "
                 "effective cores > N)")
-    with open(f"BENCH/scaling_{n1}v{n2}_{rn['files']}.md", "w") as f:
+    with open(f"BENCH/scaling_{n1}v{n2}_{rn['files']}{tag}.md", "w") as f:
         f.write(f"""# Scaling run — local[{n1}] vs local[{n2}], {rn['files']} files{pin_note}
 
 | parallelism | files | wall sec (best) | files/sec (best) | nodes | edges |
@@ -441,9 +526,74 @@ Per-stage timings (best runs):
 {json.dumps({f'local{n1}': rn['stages'], f'local{n2}': r4n['stages']}, indent=2)}
 ```
 """)
-    print(json.dumps({"efficiency": round(eff, 3), "levels": levels,
-                      "pinned": pin, "hw": hw, "efficiency_vs_hw": rel,
-                      "rn": rn, "r4n": r4n}))
+    summary = {"efficiency": round(eff, 3), "levels": levels,
+               "pinned": pin, "hw": hw, "efficiency_vs_hw": rel,
+               "rn": rn, "r4n": r4n}
+    print(json.dumps(summary))
+    return summary
+
+
+def run_scaling_multi(copies: int, levels: tuple[int, int] = (2, 8),
+                      pairs: int = 3, reps: int = 2) -> None:
+    """VERDICT r05 #2: the efficiency headline must be a MEDIAN of >= `pairs`
+    calibration-gated same-run pairs, not one pair whose throttled low leg
+    can flatter the number (r5: 0.632 single-pair vs 0.503 conservative).
+
+    Each pair: (a) wait for the calibration gate — two consecutive
+    random-gather probes in [0.48, 1.05]; (b) run BOTH legs back-to-back in
+    the same window (leg order alternates across pairs to decorrelate
+    co-tenant drift); (c) persist the pair's own report + legs.  The summary
+    report leads with the median and the full spread."""
+    import statistics
+
+    os.makedirs("BENCH", exist_ok=True)
+    n1, n2 = levels
+    out = []
+    for p in range(pairs):
+        probes = gate_calibration(levels)
+        hw0 = hw_calibration(levels)
+        s = run_scaling(copies, levels, reps, tag=f"_p{p + 1}", hw0=hw0,
+                        flip_order=(p % 2 == 1))
+        s["gate_probes"] = probes
+        s["pair"] = p + 1
+        s["leg_order"] = f"local[{n2}] first" if p % 2 == 1 \
+            else f"local[{n1}] first"
+        out.append(s)
+        # persist incrementally: a late failure keeps the finished pairs
+        with open(f"BENCH/scaling_multi_{n1}v{n2}_partial.json", "w") as f:
+            json.dump(out, f)
+    effs = sorted(s["efficiency"] for s in out)
+    med = statistics.median(effs)
+    pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
+    files = out[0]["rn"]["files"]
+    rows = "\n".join(
+        f"| {s['pair']} | {s['leg_order']} | {s['gate_probes']} "
+        f"| {s['hw']['randmem_ceiling']} | {s['rn']['sec']} "
+        f"| {s['r4n']['sec']} | {s['rn']['files_per_sec']} "
+        f"| {s['r4n']['files_per_sec']} | **{s['efficiency']}** |"
+        for s in out)
+    with open(f"BENCH/scaling_multi_{n1}v{n2}_{files}.md", "w") as f:
+        f.write(f"""# Multi-pair scaling — local[{n1}] vs local[{n2}], {files} files, {len(out)} calibration-gated pairs{' (PINNED)' if pin else ''}
+
+**Headline scaling efficiency (median of {len(out)} gated same-run pairs) =
+{med:.3f}** (target >= 0.8).  Spread: {effs[0]:.3f} - {effs[-1]:.3f}.
+
+Protocol (VERDICT r05 #2): each pair launches only after two consecutive
+random-gather calibration probes land in [0.48, 1.05]; both legs run
+back-to-back in the same window ({reps} reps each, best-of); leg order
+alternates across pairs so slow co-tenant drift cannot systematically
+throttle one leg.
+
+| pair | leg order | gate probes | randmem ceiling | local[{n1}] wall | local[{n2}] wall | rate N | rate 4N | efficiency |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+Per-pair reports: `scaling_{n1}v{n2}_{files}_p*.md`; legs:
+`leg_local*_c{copies}_p*.json`.
+""")
+    print(json.dumps({"median_efficiency": round(med, 3),
+                      "efficiencies": effs, "pairs": len(out),
+                      "levels": levels, "pinned": pin, "files": files}))
 
 
 if __name__ == "__main__":
@@ -455,5 +605,12 @@ if __name__ == "__main__":
         levels = ((int(sys.argv[3]), int(sys.argv[4]))
                   if len(sys.argv) > 4 else (2, 8))
         run_scaling(copies, levels)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-multi":
+        copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+        levels = ((int(sys.argv[3]), int(sys.argv[4]))
+                  if len(sys.argv) > 4 else (2, 8))
+        pairs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+        reps = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+        run_scaling_multi(copies, levels, pairs, reps)
     else:
         print(json.dumps(run_default()))

@@ -39,6 +39,28 @@ SER_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 _SEQ = itertools.count()
 _DIR: str | None = None
+# live localCheckpoint DataFrames, so a bench harness can release the
+# previous rep's RDD blocks SYNCHRONOUSLY before the next rep starts —
+# ContextCleaner unpersists asynchronously after a driver GC, and the lag
+# left rep N's serialized blocks squatting in the storage pool while
+# rep N+1's extraction materialized (measured: rep-2 nodes_assembled spans
+# ran 1.2-1.6x rep 1 at 0.36-0.41 core-util in the r5 scaling legs)
+_LIVE: list = []
+
+
+def release_all() -> int:
+    """Unpersist every checkpoint this module created (blocking); -> count.
+    Call between benchmark reps; harmless mid-pipeline only if the caller
+    is done with every stage DataFrame."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking=True)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _parquet_dir() -> str:
@@ -59,10 +81,16 @@ def ckpt(df, eager: bool = True):
     per call so tests/benches can flip backends after import."""
     if os.environ.get("STAKGRAPH_CKPT", "local") == "parquet":
         if not eager:
-            # no lazy parquet materialization exists; the lineage is left
-            # intact (cheaper than a blocking write for a single consumer)
-            return df.localCheckpoint(eager=False, storageLevel=SER_LEVEL)
+            # no lazy parquet materialization exists; pure pass-through so
+            # the lineage really is left intact.  (A lazy localCheckpoint
+            # here would lazily truncate lineage and pin RDD blocks —
+            # re-introducing the driver/block behavior parquet mode exists
+            # to avoid, and localCheckpoint is unsafe under executor loss
+            # in the cluster deployment this mode rehearses — ADVICE r05.)
+            return df
         path = os.path.join(_parquet_dir(), f"c{next(_SEQ)}")
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
-    return df.localCheckpoint(eager=eager, storageLevel=SER_LEVEL)
+    out = df.localCheckpoint(eager=eager, storageLevel=SER_LEVEL)
+    _LIVE.append(out)
+    return out

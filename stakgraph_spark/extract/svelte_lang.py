@@ -125,7 +125,9 @@ def extract_svelte(path: str, content: str) -> Extraction:
         # Page -RENDERS-> imported component used as a markup tag
         for im in _COMP_IMPORT_RE.finditer(content):
             comp = im.group(1)
-            if re.search(rf"<{comp}[\s/>]", content):
+            # re.escape: identifiers may contain `$` (legal JS) which would
+            # otherwise act as an end-anchor and never match (ADVICE r05)
+            if re.search(rf"<{re.escape(comp)}[\s/>]", content):
                 ex.mention(M_RENDERS, pg.ref(), comp)
     if route is not None and fname.startswith("+server."):
         for n in list(ex.nodes):

@@ -404,6 +404,26 @@ def _span_end(mlines, i, n):
     return n - 1
 
 
+def _bracket_span_end(mlines, i, n):
+    """End row of a multi-line `[...]` initializer: balances BOTH `[]` and
+    `{}` so a semicolon-free array class field (`rows = [`) ends at its own
+    closing bracket instead of running to the next brace-balanced line —
+    which is typically the following method, silently swallowing it
+    (ADVICE r05; _span_end only balances `{}`)."""
+    d = 0
+    opened = False
+    for j in range(i, n):
+        for ch in mlines[j]:
+            if ch in "[{":
+                d += 1
+                opened = True
+            elif ch in "]}":
+                d -= 1
+        if opened and d <= 0:
+            return j
+    return n - 1
+
+
 _VAR_VALUE_OK = re.compile(
     r"^(?:new\s+[A-Za-z_$]|['\"`]|\d|\{|\[|true\b|false\b|[A-Za-z_$][\w$]*(?:\.[A-Za-z_$][\w$]*)*\s*[;,]?\s*$)")
 
@@ -636,7 +656,12 @@ def extract_ts(path: str, content: str, lang: str = "typescript",
                 # struct_field registry entries (ADVICE r04)
                 om = _FIELD_OBJ_OPEN_RE.match(ml)
                 if om:
-                    e = _span_end(mlines, i, n)
+                    # `[` openers need bracket balancing — _span_end only
+                    # balances `{}` and would run a semicolon-free array
+                    # field into the next method (ADVICE r05)
+                    e = (_bracket_span_end(mlines, i, n)
+                         if ml.rstrip().endswith("[")
+                         else _span_end(mlines, i, n))
                     if e > i:
                         i = e + 1
                         continue

@@ -253,6 +253,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
     if raw is None:
         raw = _ckpt(extract_raw(src.where(F.col("skipped").isNull())))
+    stage("raw_extracted")
 
     ex_nodes = raw.where(F.col("rec") == "node").select(
         "node_type", "name", "file", "start", "end", "body", "docs", "hash",
@@ -315,6 +316,19 @@ def build_graph(spark: SparkSession, source: DataFrame,
                   .withColumn("has_body",
                               (F.length(F.coalesce("body", F.lit(""))) > 0)
                               | F.col("body_mode").isNotNull()))
+    if os.environ.get("STAKGRAPH_CHECK_SURROGATES"):
+        # debug-flagged guard for the 64-bit surrogate collision math
+        # (EDGE_COLS_H comment above): node_key is unique post-dedup, so a
+        # key_h collision means two distinct nodes would silently merge in
+        # every link/prune join.  One cheap agg over the just-checkpointed
+        # table; a 10^9-node run fails loudly instead (VERDICT r05 #7).
+        c = nodes.agg(F.count("*").alias("n"),
+                      F.countDistinct("key_h").alias("h")).collect()[0]
+        if c["n"] != c["h"]:
+            raise AssertionError(
+                f"xxhash64 surrogate collision: {c['n']} distinct node_keys "
+                f"-> {c['h']} distinct key_h; widen the surrogate to 128 "
+                "bits (see EDGE_COLS_H collision math)")
     stage("nodes_assembled")
 
     # File -CONTAINS-> extracted node (add_node_with_parent semantics)
@@ -558,6 +572,22 @@ def build_graph(spark: SparkSession, source: DataFrame,
     e2e_testid_edges = api_link.link_e2e_test_ids(nodes)
     stage("linking_declared")
 
+    # final node-plane filters — these depend only on the cascade/symtab
+    # results, NOT on the edge union, so the prune plane's slim projection
+    # over them can materialize CONCURRENTLY with the edge-union checkpoint
+    # below and fill that job's straggler tail (VERDICT r05 #1: overlap the
+    # next stage's jobs with the current checkpoint's tail).  The
+    # indirect-test meta merge that used to sit between these filters and
+    # prune is edge-dependent and moved AFTER the prune plane — prune only
+    # removes nodes and never reads the endpoint meta keys it writes, so
+    # the final table is identical.
+    nodes_final = nodes_no_badinst
+    if dropped_endpoints is not None:
+        nodes_final = nodes_final.join(dropped_endpoints, "key_h", "left_anti")
+    SLIM_COLS = ["key_h", "node_key", "node_type", "repo", "lang",
+                 "name", "file", "start", "end", "meta"]
+    fut_slim = pool.submit(lambda: _ckpt(nodes_final.select(*SLIM_COLS)))
+
     # materialize every family as a CONCURRENT job: the driver thread pool
     # overlaps their planning and their (mostly sub-second) stages, which
     # were serialized by the single union job in rounds 1-2 — the measured
@@ -589,16 +619,22 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # endpoint hashes with the same edge_type (p ~ 1e-20 at 10^9 edges).
     edges = _ckpt(edges.dropDuplicates(["src_h", "dst_h", "edge_type"]))
     stage("edges_linked")
-    nodes = nodes_no_badinst
-
-    # endpoints whose handler failed the cascade are dropped (go & co)
-    if dropped_endpoints is not None:
-        nodes = nodes.join(dropped_endpoints, "key_h", "left_anti")
 
     # indirect integration tests: IntegrationTest -CALLS-> helper whose body
     # issues a Request matching an Endpoint -> the endpoint node gains
-    # meta.indirect_test / meta.test_helper (linker.rs:94-131)
-    ind = api_link.indirect_test_endpoints(nodes, edges)
+    # meta.indirect_test / meta.test_helper (linker.rs:94-131).  Computed
+    # from the pre-prune graph exactly as before; merged into the node
+    # table AFTER the prune plane (see nodes_final comment above) — prune
+    # never reads these keys and only removes nodes, so moving the merge
+    # changes nothing in the output.
+    ind = api_link.indirect_test_endpoints(nodes_final, edges)
+
+    # ---------------- prune plane ----------------
+    from .prune import prune_graph
+    nodes, edges = prune_graph(nodes_final, edges, pool=pool,
+                               slim=fut_slim.result())
+    pool.shutdown(wait=False)
+
     nodes = (nodes.join(ind, "key_h", "left")
              .withColumn(
                  "meta",
@@ -611,11 +647,6 @@ def build_graph(spark: SparkSession, source: DataFrame,
                                 F.lit("test_helper"), F.col("test_helper"))))
                  .otherwise(F.col("meta")))
              .drop("indirect_test", "test_helper"))
-
-    # ---------------- prune plane ----------------
-    from .prune import prune_graph
-    nodes, edges = prune_graph(nodes, edges, pool=pool)
-    pool.shutdown(wait=False)
 
     # ---- body restore — the ONLY pass that touches full bodies ----
     # inline (link-consumed) bodies + docs/hash ride the node table; 'span'

@@ -131,7 +131,8 @@ def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def prune_graph(nodes: DataFrame, edges: DataFrame,
-                pool=None) -> tuple[DataFrame, DataFrame]:
+                pool=None, slim: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """`edges` must arrive deduplicated + materialized with HASHED endpoints
     (the pipeline's union checkpoint applies the BTreeSet semantics of
     btreemap_graph.rs:51-55); this runs in THREE materialization jobs
@@ -149,9 +150,13 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
     # anti-join over the call cascade, and prune_orphan + the directives read
     # slim ~8 times — uncheckpointed, each read replays the cascade.
     # node_key rides along (strings re-attach to edges from `keys` below).
-    slim = nodes.select("key_h", "node_key", "node_type", "repo", "lang",
-                        "name", "file", "start", "end", "meta")
-    slim = _ckpt(slim)
+    # The pipeline normally passes slim in pre-materialized — submitted
+    # concurrently with the edge-union checkpoint so it fills that job's
+    # straggler tail (it has no edge dependency).
+    if slim is None:
+        slim = _ckpt(nodes.select("key_h", "node_key", "node_type", "repo",
+                                  "lang", "name", "file", "start", "end",
+                                  "meta"))
 
     removed = prune_orphan_functions(slim, edges)
     slim = slim.join(removed, "key_h", "left_anti")

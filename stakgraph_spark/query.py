@@ -169,6 +169,53 @@ def build_fulltext_index(nodes: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("tf")))
 
 
+FULLTEXT_BUCKETS = 64
+
+
+def write_fulltext_index(nodes: DataFrame, path: str,
+                         buckets: int = FULLTEXT_BUCKETS) -> None:
+    """Write the inverted index hash-bucketed by term — the standing-index
+    deployment (VERDICT r05 #5).  `bucket = pmod(xxhash64(term), B)` is a
+    PARTITION column, so the layout is metastore-free bucketing: a query
+    computes its terms' buckets and the scan prunes to those directories
+    (B is fixed, so directory count never grows with the corpus; within a
+    bucket, files are term-clustered by the repartition)."""
+    idx = build_fulltext_index(nodes).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)))
+    (idx.repartition("bucket").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def term_buckets(spark, terms: list[str],
+                 buckets: int = FULLTEXT_BUCKETS) -> list[int]:
+    """Bucket ids for query terms — one tiny Spark job (xxhash64 is
+    JVM-side), so the serving probe can pass LITERAL partition values and
+    get static partition pruning."""
+    if not terms:
+        return []
+    rows = (spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(buckets)).alias("b"))
+            .collect())
+    return sorted({int(r["b"]) for r in rows})
+
+
+def fulltext_search_on_disk(spark, path: str, query: str,
+                            node_types: list[str] | None = None,
+                            limit: int = 25,
+                            buckets: int = FULLTEXT_BUCKETS) -> DataFrame:
+    """fulltext_search served from a write_fulltext_index table: the term
+    probe prunes to the query terms' hash buckets (partition dirs) before
+    the row-level term filter — per-query cost is O(matching buckets), not
+    a scan of the whole index."""
+    terms = [t for t in _TOKEN_RE.split(query.lower()) if t]
+    idx = spark.read.parquet(path)
+    if not terms:
+        return (idx.select("node_key", "node_type", "name", "file",
+                           F.lit(0).cast("long").alias("score")).limit(0))
+    idx = idx.where(F.col("bucket").isin(term_buckets(spark, terms, buckets)))
+    return fulltext_search_indexed(idx, query, node_types, limit)
+
+
 def fulltext_search_indexed(index: DataFrame, query: str,
                             node_types: list[str] | None = None,
                             limit: int = 25) -> DataFrame:

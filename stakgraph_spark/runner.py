@@ -56,7 +56,9 @@ MANIFEST_SCHEMA = T.StructType([
 
 
 class PipelineRunner:
-    def __init__(self, spark: SparkSession, workdir: str, run_id: str | None = None):
+    def __init__(self, spark: SparkSession, workdir: str,
+                 run_id: str | None = None,
+                 fulltext_index: bool = False):
         self.spark = spark
         self.workdir = workdir
         self.run_id = run_id or uuid.uuid4().hex[:12]
@@ -65,6 +67,11 @@ class PipelineRunner:
         self.mirror_path = os.path.join(workdir, "pipeline_manifest.jsonl")
         self.metrics_path = os.path.join(workdir, "stage_metrics.jsonl")
         self.raw_path = os.path.join(workdir, "raw")
+        # optional post-materialization serving stage: standing inverted
+        # index for fulltext_search (query.write_fulltext_index — the
+        # reference keeps a Lucene fulltext index, neo4j/connection.rs:52-66)
+        self.fulltext_index = fulltext_index
+        self.fulltext_path = os.path.join(workdir, "fulltext_index")
 
     # ---------------- manifest (parquet table) ----------------
     def _manifest(self) -> DataFrame:
@@ -228,6 +235,29 @@ class PipelineRunner:
                       "rebuilt": link_rebuilt,
                       "stage_timings": g_metrics})
 
+        # ---- stage: fulltext index (optional post-materialization serving
+        # stage; resumability mirrors the link stage — rebuilt whenever the
+        # graph was, skipped on a clean resume) ----
+        fulltext_rebuilt = False
+        if self.fulltext_index:
+            from .query import write_fulltext_index
+
+            ft_done = (self._manifest()
+                       .where((F.col("stage") == "fulltext_index")
+                              & (F.col("status") == "done")).count() > 0)
+            t0 = time.time()
+            if link_rebuilt or not ft_done or not os.path.exists(
+                    os.path.join(self.fulltext_path, "_SUCCESS")):
+                write_fulltext_index(nodes, self.fulltext_path)
+                self._mark_df("fulltext_index", self.spark.createDataFrame(
+                    [("*", "*")], ["repo", "lang"]))
+                fulltext_rebuilt = True
+            n_terms = (self.spark.read.parquet(self.fulltext_path)
+                       .select("term").distinct().count())
+            self._metric("fulltext_index", (time.time() - t0) * 1000,
+                         {"rebuilt": fulltext_rebuilt,
+                          "distinct_terms": n_terms})
+
         n_files = source.count()
         total = time.time() - t_all
         self._metric("total", total * 1000,
@@ -238,4 +268,7 @@ class PipelineRunner:
                 "node_counts": node_counts, "edge_counts": edge_counts,
                 "extracted_partitions": n_todo,
                 "skipped_partitions": n_parts - n_todo,
-                "link_rebuilt": link_rebuilt}
+                "link_rebuilt": link_rebuilt,
+                "fulltext_path": (self.fulltext_path
+                                  if self.fulltext_index else None),
+                "fulltext_rebuilt": fulltext_rebuilt}

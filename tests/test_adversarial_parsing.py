@@ -216,3 +216,92 @@ def test_svelte_edge_cases():
     # unterminated script tag
     ex = extract_svelte("src/lib/Bad.svelte", "<script>\nfunction f() {")
     assert all(n.node_type != "Endpoint" for n in ex.nodes)
+
+
+def test_ts_array_field_then_method():
+    """Semicolon-free multi-line ARRAY class field: the skip must end at the
+    array's own `]` (bracket-balanced), not run to the next brace-balanced
+    line and swallow the following method (ADVICE r05 — _span_end only
+    balances {})."""
+    from stakgraph_spark.extract.ts_lang import extract_ts
+    src = '''export class Grid {
+  rows = [
+    1,
+    2,
+    3
+  ]
+
+  paint(): string { return "ok" }
+}
+'''
+    ex = extract_ts("src/grid.ts", src)
+    fns = {n.name for n in ex.nodes if n.node_type == "Function"}
+    assert "paint" in fns, fns
+    # array items must not leak into the receiver registry
+    sf = [m.target for m in ex.mentions if m.kind == "struct_field"]
+    assert sf == [], sf
+
+
+def test_ts_array_field_of_objects_then_method():
+    """Array initializer whose elements are object literals (mixed [] and {}
+    nesting) — the bracket balancer must treat both, and the object keys
+    inside must not become struct_field registry entries."""
+    from stakgraph_spark.extract.ts_lang import extract_ts
+    src = '''export class Routes {
+  table = [
+    { path: Home, exact: true },
+    { path: About,
+      exact: false },
+  ]
+
+  match(url: string): string { return url }
+}
+'''
+    ex = extract_ts("src/routes.ts", src)
+    fns = {n.name for n in ex.nodes if n.node_type == "Function"}
+    assert "match" in fns, fns
+    sf = [m.target for m in ex.mentions if m.kind == "struct_field"]
+    assert "path" not in sf and "exact" not in sf, sf
+
+
+def test_ts_object_field_nested_braces_then_method():
+    """Object-literal field initializer with NESTED braces, and a method on
+    the line after it closes: _span_end must stop at the initializer's own
+    closing brace so the method survives with the right span (VERDICT r05
+    task 8 — pins _span_end's behavior for the ADVICE r04 skip)."""
+    from stakgraph_spark.extract.ts_lang import extract_ts
+    src = '''export class Cfg {
+  defaults = {
+    retry: { max: 3, backoff: { base: 100 } },
+    hooks: {
+      before: null,
+    },
+  };
+  client: HttpClient;
+  run(): number { return 1 }
+}
+'''
+    ex = extract_ts("src/cfg.ts", src)
+    fns = {n.name for n in ex.nodes if n.node_type == "Function"}
+    assert "run" in fns, fns
+    sf = [(m.target, m.extra.get("ftype")) for m in ex.mentions
+          if m.kind == "struct_field"]
+    # the real typed field right after the initializer must still register;
+    # none of the nested object keys may
+    assert ("client", "HttpClient") in sf, sf
+    assert all(t not in ("retry", "hooks", "before", "max") for t, _ in sf), sf
+
+
+def test_svelte_dollar_identifier_component_renders():
+    """Imported component identifiers containing `$` (legal JS) must still
+    produce the Page->component RENDERS mention — the tag probe regex must
+    escape the identifier (ADVICE r05)."""
+    from stakgraph_spark.extract.svelte_lang import extract_svelte
+    src = '''<script>
+  import C$Panel from "$lib/C$Panel.svelte";
+</script>
+<C$Panel title="x" />
+'''
+    ex = extract_svelte("src/routes/dash/+page.svelte", src)
+    renders = [(m.src[1], m.target) for m in ex.mentions if m.kind == "renders"]
+    assert ("/dash", "C$Panel") in renders, renders
