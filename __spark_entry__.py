@@ -3,15 +3,17 @@
 entry(spark)  — flagship: per-language document stats over sf0.001 (exercises
                 scan -> transform -> aggregate through the engine's catalog).
 queries()     — one callable per implemented operator (stakgraph_spark.textops
-                catalog, 28 entries: canonical keys, sha256 invariant,
-                exact/MinHash-LSH/SimHash dedup (pairs over exact-dedup
-                representatives with a salted band join), fp-keyed n-gram
-                Jaccard, lang-ID/quality/token text analysis,
+                catalog, 31 entries: canonical keys, sha256 invariant,
+                exact/MinHash-LSH/SimHash/embedding-cosine dedup (pairs over
+                exact-dedup representatives with a salted band join; cosine
+                near-dups via the vectorized LSH banding + exact verify),
+                fp-keyed n-gram Jaccard, lang-ID/quality/token text analysis,
                 fingerprinting, brute-force ANN + LSH-bucketed ANN +
                 IVF-Flat ANN + embedder-fed document ANN, serving-layer
-                search/fulltext/BFS ops driven through their real
-                operators (search_nodes, fulltext_search, bfs_distances
-                vs a recursive-CTE oracle), and five KG link-plane
+                search/fulltext/BFS/k-hop/coverage ops driven through their
+                real operators (search_nodes, fulltext_search, bfs_distances,
+                k_hop, coverage_stats vs recursive-CTE / per-tier SQL
+                oracles), and five KG link-plane
                 operator shapes (priority cascade, masked-path
                 request/endpoint join, longest-prefix rewrite,
                 same-then-global symbol resolution, library USES join)

@@ -67,9 +67,15 @@ def make_spark(cpus: int):
             # local[2] at 144k files)
             .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                     "true")
+            # 128k (not the 1m default): post-surrogate link-plane rows are
+            # ~16-byte keys but carry 50+ µs/row of codegen — byte-targeted
+            # coalescing at 1m built 5 x 170k-row pieces that ran 14 s each
+            # while the other cores idled (event-log stage 556, r6); at 128k
+            # the same shuffle spreads ~8x wider and the tail is bounded by
+            # one small piece
             .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                    "1m")
-            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+                    "128k")
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
             .config("spark.rdd.compress", "true")
             # big symbol-table lookup sides must NOT broadcast: the driver
             # builds broadcast hash tables single-threaded, a serial cost

@@ -234,8 +234,20 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # hashing only (repo, lang) left whole repo-language slices on single
     # tasks, and the largest slice bounded the extraction stage's wall clock
     # at high parallelism (measured 0.74 scaling efficiency in the extract
-    # phase at round 2)
-    src = src.repartition("repo", "lang", "path")
+    # phase at round 2).
+    # The partition COUNT is explicit: a bare repartition(cols) is an AQE
+    # coalescing target, and AQE sizes pieces by BYTES — extraction costs
+    # ~50-300 µs of regex CPU per row on ~1 KB rows, so byte-targeted
+    # coalescing packed a 98k-file corpus into 11 pieces whose second wave
+    # idled cores on every downstream lineage stage (event-log: stages 3,
+    # 353, 355 all n=11 at local[8]).  An explicit count is exempt from AQE
+    # coalescing; shuffle.partitions is the deployment-sized knob (4x slots
+    # in bench, O(100k) on a real cluster at 100 TB).
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism * 4
+    src = src.repartition(n_part, "repo", "lang", "path")
 
     fp_nodes, fp_edges = file_plane(src)
     # workspace/package detection (monorepos): Package nodes + edges

@@ -530,6 +530,51 @@ def q_ann_lsh_best(spark, sf_dir):
                  F.round(F.max("cos"), 4).alias("best_cos")))
 
 
+DEDUP_COS_TAU = 0.4
+
+
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the 5th dedup modality next
+    to exact / MinHash-LSH / SimHash / n-gram-Jaccard: candidate pairs come
+    from the SAME vectorized LSH banding as the ANN path (`lsh_buckets`
+    matmul -> narrow (id, bi, bucket) rows -> bucket self-equi-join; no
+    crossJoin anywhere), each candidate verified with the EXACT cosine, and
+    pairs >= DEDUP_COS_TAU emitted once as (keep_id, drop_id, cos) with
+    keep-first semantics (the lower vec_id survives, matching
+    `dedup_keep_first`).
+
+    Scale shape: banding emits B narrow rows per vector; the self-join is
+    per-(band, bucket); embeddings ride back only for surviving candidate
+    pairs — at 10^9 vectors the candidate count is governed by bands x bits,
+    not N^2.  The oracle reproduces the banding in SQL (same md5-derived
+    plane constants as ann_lsh_best), so LSH recall is part of the checked
+    contract, not hidden."""
+    e = _emb(spark, sf_dir)
+    b = lsh_buckets(e, ANN_PLANES, ANN_BANDS, ANN_BITS)
+    cands = (b.select(F.col("vec_id").alias("keep_id"), "bi", "bucket")
+             .join(b.select(F.col("vec_id").alias("drop_id"), "bi", "bucket"),
+                   ["bi", "bucket"])
+             .where(F.col("keep_id") < F.col("drop_id"))
+             .select("keep_id", "drop_id").distinct())
+    dot = F.aggregate(F.zip_with(F.col("ka").cast("array<double>"),
+                                 F.col("embedding").cast("array<double>"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c.cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sims = (cands
+            .join(e.select(F.col("vec_id").alias("keep_id"),
+                           F.col("embedding").alias("ka")), "keep_id")
+            .join(e.select(F.col("vec_id").alias("drop_id"), "embedding"),
+                  "drop_id")
+            .select("keep_id", "drop_id",
+                    (dot / (norm(F.col("ka")) * norm(F.col("embedding"))))
+                    .alias("c")))
+    return (sims.where(F.col("c") >= DEDUP_COS_TAU)
+            .select("keep_id", "drop_id", F.round("c", 4).alias("cos")))
+
+
 def _sql_plane(p: int) -> str:
     return "[" + ", ".join(str(s) for s in ANN_PLANES[p]) + "]"
 
@@ -559,6 +604,24 @@ sims AS (
   FROM cands)
 SELECT qid, arg_max(vec_id, cos) AS best_neighbor, round(max(cos), 4) AS best_cos
 FROM sims GROUP BY qid
+"""
+
+
+SQL_DEDUP_EMBED_COSINE = f"""
+WITH b AS (
+{_SQL_BUCKETS}),
+cands AS (
+  SELECT DISTINCT l.vec_id AS keep_id, r.vec_id AS drop_id
+  FROM b l JOIN b r USING (bi, bucket) WHERE l.vec_id < r.vec_id),
+sims AS (
+  SELECT keep_id, drop_id,
+         list_dot_product(CAST(ka.embedding AS DOUBLE[]), CAST(db.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(ka.embedding AS DOUBLE[]), CAST(ka.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(db.embedding AS DOUBLE[]), CAST(db.embedding AS DOUBLE[])))) AS c
+  FROM cands
+  JOIN embeddings ka ON ka.vec_id = keep_id
+  JOIN embeddings db ON db.vec_id = drop_id)
+SELECT keep_id, drop_id, round(c, 4) AS cos FROM sims WHERE c >= {DEDUP_COS_TAU}
 """
 
 
@@ -1109,6 +1172,7 @@ CATALOG: dict[str, tuple] = {
     "canonical_key": (q_canonical_key, SQL_CANONICAL_KEY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
+    "dedup_embed_cosine": (q_dedup_embed_cosine, SQL_DEDUP_EMBED_COSINE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
