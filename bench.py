@@ -354,9 +354,15 @@ def hw_calibration(levels: tuple[int, int]) -> dict:
 
 
 def _tree_cpu_sec() -> float:
-    """utime+stime of this process and every descendant (JVM, python
-    workers) — the serial-fraction detector: if the pipeline's CPU burn is
-    ~= wall x cores at the high leg, no driver serial section is hiding."""
+    """utime+stime+cutime+cstime of this process and every descendant (JVM,
+    python workers) — the serial-fraction detector: if the pipeline's CPU
+    burn is ~= wall x cores at the high leg, no driver serial section is
+    hiding.  cutime/cstime (stat fields 16/17) matter: Spark reaps idle
+    python workers after the extraction stage, and a reaped child's CPU
+    vanishes from the live-descendant sum but folds into its parent's
+    cutime — without them the r6 pair-2 legs reported NEGATIVE
+    nodes_assembled utilization (the counter went backwards as ~30 workers
+    died).  No double count: cutime only includes waited-on children."""
     me = os.getpid()
     procs = {}
     for p in os.listdir("/proc"):
@@ -365,7 +371,9 @@ def _tree_cpu_sec() -> float:
         try:
             with open(f"/proc/{p}/stat") as f:
                 parts = f.read().rsplit(") ", 1)[1].split()
-            procs[int(p)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+            procs[int(p)] = (int(parts[1]),
+                             int(parts[11]) + int(parts[12])
+                             + int(parts[13]) + int(parts[14]))
         except OSError:
             continue
     desc = {me}
@@ -555,8 +563,18 @@ def run_scaling_multi(copies: int, levels: tuple[int, int] = (2, 8),
     os.makedirs("BENCH", exist_ok=True)
     n1, n2 = levels
     out = []
+    gate_failed = 0
     for p in range(pairs):
-        probes = gate_calibration(levels)
+        try:
+            probes = gate_calibration(levels)
+        except RuntimeError as e:
+            # a pair whose window never calms is SKIPPED, not fatal: the
+            # completed gated pairs are the measurement (r6: pair 3's gate
+            # saw 20 contended probes and raised, losing the summary for
+            # two finished pairs)
+            print(f"# pair {p + 1} skipped: {e}", file=sys.stderr)
+            gate_failed += 1
+            continue
         hw0 = hw_calibration(levels)
         s = run_scaling(copies, levels, reps, tag=f"_p{p + 1}", hw0=hw0,
                         flip_order=(p % 2 == 1))
@@ -568,6 +586,9 @@ def run_scaling_multi(copies: int, levels: tuple[int, int] = (2, 8),
         # persist incrementally: a late failure keeps the finished pairs
         with open(f"BENCH/scaling_multi_{n1}v{n2}_partial.json", "w") as f:
             json.dump(out, f)
+    if not out:
+        raise RuntimeError("no pair completed: every calibration gate "
+                           "failed — machine contended all session")
     effs = sorted(s["efficiency"] for s in out)
     med = statistics.median(effs)
     pin = bool(os.environ.get("SPARK_GRAFT_PIN"))
@@ -596,9 +617,14 @@ throttle one leg.
 
 Per-pair reports: `scaling_{n1}v{n2}_{files}_p*.md`; legs:
 `leg_local*_c{copies}_p*.json`.
+{f'''
+{gate_failed} of {pairs} attempted pairs never launched: their calibration
+gate saw no two consecutive in-band probes in 20 attempts (machine
+contended) and skipped the window rather than measure a neighbor.''' if gate_failed else ''}
 """)
     print(json.dumps({"median_efficiency": round(med, 3),
                       "efficiencies": effs, "pairs": len(out),
+                      "gate_failed_pairs": gate_failed,
                       "levels": levels, "pinned": pin, "files": files}))
 
 
