@@ -45,20 +45,28 @@ BENCH_QUERIES = ["doc_stats", "dedup_exact", "minhash_pairs", "simhash",
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
-def make_spark(cpus: int):
+def make_spark(cpus: int, files: int | None = None):
     from pyspark.sql import SparkSession
 
+    # shuffle partitions scale with the DATA, clamped to [cpus, 4*cpus]:
+    # up to 4 waves per shuffle stage so per-task variance can't idle the
+    # other cores for a whole one-wave tail (r5 legs: nodes_assembled
+    # 0.36-0.41 core-util at cpus partitions), but never more than ~1
+    # partition per 300 files — on the 5,928-file default corpus a flat
+    # 4*cpus=128 put 128 near-empty tasks on EVERY one of ~800 stages and
+    # fixed scheduling costs dominated (measured 30-42 files/sec vs 76
+    # at 32 partitions, task-concurrency util 0.615, 32% planning gaps).
+    # The big legs are unaffected: >=9.6k files saturates the 4*cpus cap
+    # at local[8] (the 345.8k-file record pairs ran at exactly this value).
+    if files:
+        shuf = max(cpus, min(4 * cpus, files // 300))
+    else:
+        shuf = 4 * cpus
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("stakgraph-spark-bench")
             .config("spark.driver.memory", DRIVER_MEM)
-            # 4 waves per shuffle stage: at cpus partitions every checkpoint
-            # job's final stage was ONE wave of fat tasks — any per-task
-            # variance idled the other cores for the whole tail (r5 legs:
-            # nodes_assembled 0.36-0.41 core-util).  AQE (parallelismFirst,
-            # 1m min) still coalesces SMALL shuffles down to ~cpus, so this
-            # only splits the stages that were tail-bound.
             .config("spark.sql.shuffle.partitions",
-                    os.environ.get("SPARK_GRAFT_SHUF") or str(4 * cpus))
+                    os.environ.get("SPARK_GRAFT_SHUF") or str(shuf))
             .config("spark.sql.adaptive.enabled", "true")
             # keep post-shuffle parallelism at the core count: with the
             # default 64 MB advisory size AQE coalesces the link plane's
@@ -67,14 +75,15 @@ def make_spark(cpus: int):
             # local[2] at 144k files)
             .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                     "true")
-            # 128k (not the 1m default): post-surrogate link-plane rows are
-            # ~16-byte keys but carry 50+ µs/row of codegen — byte-targeted
-            # coalescing at 1m built 5 x 170k-row pieces that ran 14 s each
-            # while the other cores idled (event-log stage 556, r6); at 128k
-            # the same shuffle spreads ~8x wider and the tail is bounded by
-            # one small piece
+            # 128k on big corpora (not the 1m default): post-surrogate
+            # link-plane rows are ~16-byte keys with 50+ µs/row of codegen —
+            # byte-targeted coalescing at 1m built 5 x 170k-row pieces that
+            # ran 14 s each while the other cores idled (event-log stage
+            # 556, r6).  On SMALL corpora the tradeoff inverts: per-task
+            # fixed costs dominate tiny pieces (5.9k files: 67 files/sec at
+            # 1m vs 61 at 128k, interleaved A/B), so scale with the data.
             .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                    "128k")
+                    "128k" if (files or 10**9) >= 30000 else "1m")
             .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
             .config("spark.rdd.compress", "true")
             # big symbol-table lookup sides must NOT broadcast: the driver
@@ -142,7 +151,7 @@ def kg_build_files_sec(spark, copies: int,
 
 
 def run_default() -> dict:
-    spark = make_spark(CPUS)
+    spark = make_spark(CPUS, files=494 * COPIES)
     spark.sparkContext.setLogLevel("ERROR")
     from stakgraph_spark.textops.catalog import CATALOG
 
@@ -185,7 +194,7 @@ def run_kg_only(cpus: int, copies: int, reps: int = 1) -> dict:
     runs on this container)."""
     import threading
 
-    spark = make_spark(cpus)
+    spark = make_spark(cpus, files=494 * copies)
     spark.sparkContext.setLogLevel("ERROR")
     runs = []
     files = stats = None
