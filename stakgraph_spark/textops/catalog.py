@@ -22,12 +22,35 @@ from pyspark.sql import functions as F
 STOPWORDS = "the|and|of|to|in|is|it|that|for|was|on|are|with|as|at|be|this"
 
 
+def _read_par(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with scan-parallelism repair (optimization guide §6/§2.2).
+
+    The driver's testdata tables are single-file, single-row-group parquet —
+    unsplittable, so every narrow transformation chained onto the scan
+    (shingle explode + 8x md5 minhash, tokenize/regex passes, the Python
+    embed stage) runs in ONE task regardless of cores: measured 150 s for
+    minhash_pairs at sf1.0 on local[32], ~1 core busy.  When the scan yields
+    fewer partitions than the session's parallelism, insert one round-robin
+    repartition directly after the read so all downstream per-row compute
+    parallelizes (the 5-130 MB shuffle this costs is noise next to the
+    CPU it unlocks; results are unchanged — every consumer aggregates or
+    joins, none is order-sensitive).  On a real multi-file corpus the scan
+    already has >= `defaultParallelism` splits and this is a pure no-op —
+    no shuffle is added at 100 TB, where a blanket repartition would be the
+    anti-pattern the guide warns about (§2.4)."""
+    df = spark.read.parquet(path)
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        df = df.repartition(dp)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_par(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_par(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --------------------------------------------------------------------------

@@ -29,11 +29,16 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scan-parallelism repair for single-row-group inputs (see
+    # catalog._read_par — function-level import avoids a module cycle;
+    # catalog imports this module at its end)
+    from .catalog import _read_par
+    return _read_par(spark, f"{sf_dir}/documents.parquet")
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .catalog import _read_par
+    return _read_par(spark, f"{sf_dir}/events.parquet")
 
 
 # --------------------------------------------------------------------------
