@@ -228,27 +228,53 @@ FROM documents
 # 8 portable hash functions h_k(shingle) = md5(k || '|' || shingle); min per
 # doc; 2 bands of 4 -> band keys; candidate pairs share a band.
 
-def _shingles(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "), " ")
-    toks = F.filter(toks, lambda t: t != "")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)) - 0),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]))
-    sh = F.filter(sh, lambda s: ~s.contains("  ") & (F.size(F.split(s, " ")) == 3))
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")) \
-            .where(F.size(F.split(F.col("sh"), " ")) == 3)
-
-
 def q_minhash_bands(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("sh")))).alias(f"h{k}")
-          for k in range(8)])
-    return mins.select(
-        "doc_id",
-        F.md5(F.concat_ws("", "h0", "h1", "h2", "h3")).alias("band1"),
-        F.md5(F.concat_ws("", "h4", "h5", "h6", "h7")).alias("band2"))
+    """(doc_id, band1, band2): MinHash band keys, computed in ONE
+    mapInPandas pass per partition instead of the former explode +
+    groupBy(doc_id) pipeline.
+
+    Why: the shingle explode emitted 2.3M rows whose 8x md5 min-aggregation
+    plus the interpreted per-element shingle transform burned ~120 s CPU
+    per execution at sf1.0 AND forced a 2.3M-row shuffle; the per-doc
+    computation is embarrassingly parallel, so one Python pass does
+    tokenize -> 3-gram shingles -> 8 prefixed md5 minima -> band md5s with
+    zero shuffles (guide §4.2/§2.4).  Semantics are EXACTLY the frozen
+    oracle's: tokens = split on ASCII \\W+ of lower(text) (Java's default
+    \\W is ASCII; re.ASCII mirrors it — any non-ASCII char is a separator
+    in both), shingles = adjacent 3-grams space-joined, h_k = min md5 hex
+    of "k|shingle" (md5 hexdigest == Spark md5 == DuckDB md5; min over
+    ASCII hex strings is the same binary order), bands = md5 of the
+    concatenated minima.  Docs with < 3 tokens emit nothing, as before."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    wsplit = _re.compile(r"\W+", _re.ASCII)
+    prefixes = [f"{k}|".encode() for k in range(8)]
+    md5 = hashlib.md5
+
+    def bands(pdfs):
+        for pdf in pdfs:
+            ids, b1, b2 = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in wsplit.sub(" ", (text or "").lower())
+                        .split(" ") if t]
+                if len(toks) < 3:
+                    continue
+                shingles = {" ".join(toks[i:i + 3]).encode()
+                            for i in range(len(toks) - 2)}
+                mins = [min(md5(p + s).hexdigest() for s in shingles)
+                        for p in prefixes]
+                ids.append(doc_id)
+                b1.append(md5("".join(mins[:4]).encode()).hexdigest())
+                b2.append(md5("".join(mins[4:]).encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "band1": b1, "band2": b2})
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "text").mapInPandas(
+        bands, "doc_id long, band1 string, band2 string")
 
 
 _SQL_SHINGLES = """
@@ -295,37 +321,45 @@ def q_minhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
     reps = (d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("h"))
             .groupBy("h").agg(F.min("doc_id").alias("doc_id")))
-    # materialize the bands once: both band self-joins reuse them (the
-    # shingle explode is the expensive part)
-    b = (q_minhash_bands(spark, sf_dir)
-         .join(reps.select("doc_id"), "doc_id", "leftsemi")
-         .localCheckpoint())
+    # materialize the bands once in LONG form (doc_id, bi, bd): ONE
+    # salted self-join over both bands replaces the former two per-band
+    # join pipelines (two joins + two hot-count broadcasts + a union ->
+    # one of each; the pair set is identical — a bucket is (bi, bd), so
+    # band1/band2 matches can't cross, and the final distinct is unchanged)
+    bands = (q_minhash_bands(spark, sf_dir)
+             .join(reps.select("doc_id"), "doc_id", "leftsemi"))
+    b = (bands.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("bi"), F.col("band1").alias("bd")),
+            F.struct(F.lit(2).alias("bi"), F.col("band2").alias("bd"))))
+        .alias("s"))
+        .select("doc_id", "s.bi", "s.bd")
+        .localCheckpoint())
 
-    def pairs(band_col: str):
-        """Two-pass heavy-hitter salting: a first cheap count over the
-        (checkpointed) bands finds buckets above _SALT_HOT; only those pay
-        the xS build-side replication, everything else is a plain equi-join.
-        The unconditional x8 explode of round 3 regressed the cold path 25%
-        for skew that wasn't there."""
-        aa = b.select(F.col("doc_id").alias("a"), F.col(band_col).alias("bd"))
-        bb = b.select(F.col("doc_id").alias("b"), F.col(band_col).alias("bd"))
-        hot = F.broadcast(
-            b.groupBy(F.col(band_col).alias("bd")).count()
-             .where(F.col("count") > _SALT_HOT).select("bd"))
-        cold = aa.join(hot, "bd", "left_anti").join(bb, "bd")
-        left = (aa.join(hot, "bd", "leftsemi")
-                .withColumn("salt", F.pmod(F.xxhash64("a"),
-                                           F.lit(_PAIR_SALTS))))
-        right = (bb.join(hot, "bd", "leftsemi")
-                 .withColumn("salt", F.explode(F.sequence(
-                     F.lit(0).cast("long"),
-                     F.lit(_PAIR_SALTS - 1).cast("long")))))
-        salted = left.join(right, ["bd", "salt"])
-        return (cold.select("a", "b")
-                .unionByName(salted.select("a", "b"))
-                .where(F.col("a") < F.col("b")))
-
-    return pairs("band1").unionByName(pairs("band2")).distinct()
+    # two-pass heavy-hitter salting: a first cheap count over the
+    # (checkpointed) bands finds buckets above _SALT_HOT; only those pay
+    # the xS build-side replication, everything else is a plain equi-join.
+    # The unconditional x8 explode of round 3 regressed the cold path 25%
+    # for skew that wasn't there.
+    aa = b.select(F.col("doc_id").alias("a"), "bi", "bd")
+    bb = b.select(F.col("doc_id").alias("b"), "bi", "bd")
+    hot = F.broadcast(
+        b.groupBy("bi", "bd").count()
+         .where(F.col("count") > _SALT_HOT).select("bi", "bd"))
+    cold = aa.join(hot, ["bi", "bd"], "left_anti").join(bb, ["bi", "bd"])
+    left = (aa.join(hot, ["bi", "bd"], "leftsemi")
+            .withColumn("salt", F.pmod(F.xxhash64("a"),
+                                       F.lit(_PAIR_SALTS))))
+    right = (bb.join(hot, ["bi", "bd"], "leftsemi")
+             .withColumn("salt", F.explode(F.sequence(
+                 F.lit(0).cast("long"),
+                 F.lit(_PAIR_SALTS - 1).cast("long")))))
+    salted = left.join(right, ["bi", "bd", "salt"])
+    return (cold.select("a", "b")
+            .unionByName(salted.select("a", "b"))
+            .where(F.col("a") < F.col("b"))
+            .distinct())
 
 
 SQL_MINHASH_PAIRS = f"""
@@ -431,18 +465,46 @@ WHERE jaccard >= 0.8
 
 def q_ann_best_neighbor(spark, sf_dir):
     """Brute-force cosine argmax for the first 20 query vectors — the
-    exactness baseline the LSH/IVF scale path is checked against."""
+    exactness baseline the LSH/IVF scale path is checked against.
+
+    The 20-query x N candidate grid is enumerated inside one vectorized
+    numpy pass (query vectors ride the closure) instead of a crossJoin
+    whose per-pair cosine was an interpreted Catalyst fold; the emitted
+    (qid, vec_id, cos) rows and every float are identical (this query's
+    arrays are NOT pre-cast to double, so the products are float32 —
+    cast_first=False mirrors that)."""
+    import pandas as pd
+
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    dot = F.aggregate(F.zip_with("qe", "embedding", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    sims = (q.crossJoin(e).where(F.col("vec_id") != F.col("qid"))
-            .select("qid", "vec_id",
-                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
-                    .alias("cos")))
+    qvecs = {int(r["vec_id"]): r["embedding"]
+             for r in e.where(F.col("vec_id") < 20)
+             .select("vec_id", "embedding").collect()}
+    qa32 = {k: _np.asarray(v, dtype=_np.float32) for k, v in qvecs.items()}
+    qids = _np.array(sorted(qa32), dtype=_np.int64)
+    Q32 = _np.stack([qa32[int(k)] for k in qids])
+
+    def go(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            E32 = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float32)
+            ids = pdf["vec_id"].to_numpy()
+            nq = _np.sqrt(_seq_sum64(Q32 * Q32))            # (20,)
+            ne = _np.sqrt(_seq_sum64(E32 * E32))            # (n,)
+            n, k = len(ids), len(qids)
+            # float32 per-pair products, sequential float64 accumulation —
+            # same regime as aggregate(zip_with(qe, embedding), 0.0D, +)
+            prod = (Q32[None, :, :] * E32[:, None, :]).reshape(n * k, -1)
+            dot = _seq_sum64(prod).reshape(n, k)
+            cos = dot / (nq[None, :] * ne[:, None])
+            qcol = _np.tile(qids, n)
+            icol = _np.repeat(ids, k)
+            keep = qcol != icol
+            yield pd.DataFrame({"qid": qcol[keep], "vec_id": icol[keep],
+                                "cos": cos.reshape(-1)[keep]})
+
+    sims = e.select("vec_id", "embedding").mapInPandas(
+        go, "qid long, vec_id long, cos double")
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))
@@ -521,6 +583,64 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]], bands: int,
         go, f"{id_col} long, bi int, bucket int")
 
 
+def _seq_sum64(prod: "_np.ndarray") -> "_np.ndarray":
+    """Row-wise strictly-sequential float64 sum — bit-identical to the
+    Catalyst fold `aggregate(arr, 0.0D, (acc, x) -> acc + x)`: cumsum is
+    defined as left-to-right prefix sums, and the fold's first step
+    0.0 + x0 == x0 exactly, so the last prefix equals the fold result."""
+    return _np.cumsum(prod, axis=1, dtype=_np.float64)[:, -1]
+
+
+def _cosine_to_queries(cands_emb: DataFrame, qvecs: dict[int, list[float]],
+                       cast_first: bool = True, qid_col: str = "qid",
+                       id_col: str = "vec_id") -> DataFrame:
+    """(qid, vec_id, embedding) -> (qid, vec_id, cos): the exact cosine of
+    each candidate against its (closure-captured) query vector, vectorized
+    in numpy instead of the per-pair interpreted Catalyst folds
+    (`aggregate(zip_with(...))` is evaluated lambda-by-lambda per element:
+    measured 106 s CPU for 650k candidate pairs x 384 dims at sf1.0 —
+    optimization guide §4.2: hand whole batches to native code).
+
+    Float semantics are preserved bit-for-bit:
+    * cast_first=True mirrors `cast(arr as array<double>)` before the
+      zip_with — multiply in float64;
+    * cast_first=False mirrors the uncast float32 arrays — multiply in
+      float32, then accumulate in float64 (Catalyst promotes each product
+      to double when adding to the double accumulator);
+    * accumulation order is the fold's left-to-right order (_seq_sum64);
+    * cos = dot / (norm_q * norm_e) with the same operation order.
+    Only the narrow embedding column crosses the Python boundary; the query
+    vectors ride the closure (tiny)."""
+    import pandas as pd
+
+    qa32 = {int(k): _np.asarray(v, dtype=_np.float32)
+            for k, v in qvecs.items()}
+
+    def go(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            E32 = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float32)
+            Q32 = _np.stack([qa32[int(q)] for q in pdf[qid_col]])
+            if cast_first:
+                prod = Q32.astype(_np.float64) * E32.astype(_np.float64)
+                sq_e = E32.astype(_np.float64) ** 2
+                sq_q = Q32.astype(_np.float64) ** 2
+            else:
+                prod = Q32 * E32          # float32 multiply, then f64 sum
+                sq_e = E32 * E32
+                sq_q = Q32 * Q32
+            dot = _seq_sum64(prod)
+            ne = _np.sqrt(_seq_sum64(sq_e))
+            nq = _np.sqrt(_seq_sum64(sq_q))
+            yield pd.DataFrame({qid_col: pdf[qid_col],
+                                id_col: pdf[id_col],
+                                "cos": dot / (nq * ne)})
+
+    return cands_emb.select(qid_col, id_col, "embedding").mapInPandas(
+        go, f"{qid_col} long, {id_col} long, cos double")
+
+
 def q_ann_lsh_best(spark, sf_dir):
     """Bucketed ANN: same output shape as the brute-force query but the
     candidate set is restricted to vectors sharing an LSH band bucket.
@@ -534,20 +654,12 @@ def q_ann_lsh_best(spark, sf_dir):
     cands = (q.join(b, ["bi", "bucket"])
              .where(F.col("vec_id") != F.col("qid"))
              .select("qid", "vec_id").distinct())
-    dot = F.aggregate(F.zip_with(F.col("qe").cast("array<double>"),
-                                 F.col("embedding").cast("array<double>"),
-                                 lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c.cast("array<double>"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sims = (cands
-            .join(e.select(F.col("vec_id").alias("qid"),
-                           F.col("embedding").alias("qe")), "qid")
-            .join(e, "vec_id")
-            .select("qid", "vec_id",
-                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
-                    .alias("cos")))
+    qvecs = {int(r["vec_id"]): r["embedding"]
+             for r in e.where(F.col("vec_id") < 20)
+             .select("vec_id", "embedding").collect()}
+    # exact cosine per surviving candidate, vectorized (same doubles as the
+    # interpreted cast-to-double fold it replaces — see _cosine_to_queries)
+    sims = _cosine_to_queries(cands.join(e, "vec_id"), qvecs)
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))
@@ -574,26 +686,38 @@ def q_dedup_embed_cosine(spark, sf_dir):
     contract, not hidden."""
     e = _emb(spark, sf_dir)
     b = lsh_buckets(e, ANN_PLANES, ANN_BANDS, ANN_BITS)
+    import pandas as pd
+
     cands = (b.select(F.col("vec_id").alias("keep_id"), "bi", "bucket")
              .join(b.select(F.col("vec_id").alias("drop_id"), "bi", "bucket"),
                    ["bi", "bucket"])
              .where(F.col("keep_id") < F.col("drop_id"))
              .select("keep_id", "drop_id").distinct())
-    dot = F.aggregate(F.zip_with(F.col("ka").cast("array<double>"),
-                                 F.col("embedding").cast("array<double>"),
-                                 lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c.cast("array<double>"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sims = (cands
-            .join(e.select(F.col("vec_id").alias("keep_id"),
-                           F.col("embedding").alias("ka")), "keep_id")
-            .join(e.select(F.col("vec_id").alias("drop_id"), "embedding"),
-                  "drop_id")
-            .select("keep_id", "drop_id",
-                    (dot / (norm(F.col("ka")) * norm(F.col("embedding"))))
-                    .alias("c")))
+    pairs = (cands
+             .join(e.select(F.col("vec_id").alias("keep_id"),
+                            F.col("embedding").alias("ka")), "keep_id")
+             .join(e.select(F.col("vec_id").alias("drop_id"), "embedding"),
+                   "drop_id"))
+
+    # exact verify, vectorized: same doubles as the interpreted
+    # cast-to-double zip_with/aggregate fold it replaces — float64 products,
+    # strictly-sequential float64 accumulation (_seq_sum64), cos =
+    # dot / (norm_keep * norm_drop) in the same operation order
+    def verify(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            A = _np.stack(pdf["ka"].to_numpy()).astype(_np.float64)
+            B = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            dot = _seq_sum64(A * B)
+            na = _np.sqrt(_seq_sum64(A * A))
+            nb = _np.sqrt(_seq_sum64(B * B))
+            yield pd.DataFrame({"keep_id": pdf["keep_id"],
+                                "drop_id": pdf["drop_id"],
+                                "c": dot / (na * nb)})
+
+    sims = pairs.select("keep_id", "drop_id", "ka", "embedding").mapInPandas(
+        verify, "keep_id long, drop_id long, c double")
     return (sims.where(F.col("c") >= DEDUP_COS_TAU)
             .select("keep_id", "drop_id", F.round("c", 4).alias("cos")))
 
@@ -888,10 +1012,17 @@ def q_ann_ivf_best(spark, sf_dir):
     # version measured 15.5 s at sf0.1; per-pair expression interpretation
     # is exactly the round-4 LSH-banding mistake).  Rows sorted by cid so
     # argmax's first-max tiebreak == (cos DESC, cid ASC).
-    stride = _ivf_stride(e.count())
-    cent_rows = sorted(
-        e.where(F.col("vec_id") % stride == 0)
-        .select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    # count from the raw (un-repartitioned) read — parquet metadata, no
+    # shuffle; then ONE driver collect serves both the bounded-K centroid
+    # sample and the 20 query vectors (was two jobs)
+    stride = _ivf_stride(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count())
+    both = (e.where((F.col("vec_id") % stride == 0) | (F.col("vec_id") < 20))
+            .select("vec_id", "embedding").collect())
+    cent_rows = sorted((r for r in both if r["vec_id"] % stride == 0),
+                       key=lambda r: r["vec_id"])
+    qvecs = {int(r["vec_id"]): r["embedding"]
+             for r in both if r["vec_id"] < 20}
     cids = _np.array([r["vec_id"] for r in cent_rows], dtype=_np.int64)
     C = _np.array([r["embedding"] for r in cent_rows], dtype=_np.float64)
     bc = spark.sparkContext.broadcast(
@@ -921,23 +1052,12 @@ def q_ann_ivf_best(spark, sf_dir):
     assign = ap.where(F.col("kind") == 0).select("vec_id", "cid")
     probes = ap.where(F.col("kind") == 1).select(
         F.col("vec_id").alias("qid"), "cid")
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c.cast("array<double>"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
     cands = (probes.join(assign, "cid")
              .where(F.col("vec_id") != F.col("qid"))
              .select("qid", "vec_id").distinct())
-    dot = F.aggregate(F.zip_with(F.col("qe").cast("array<double>"),
-                                 F.col("embedding").cast("array<double>"),
-                                 lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    sims = (cands
-            .join(e.select(F.col("vec_id").alias("qid"),
-                           F.col("embedding").alias("qe")), "qid")
-            .join(e, "vec_id")
-            .select("qid", "vec_id",
-                    (dot / (norm(F.col("qe")) * norm(F.col("embedding"))))
-                    .alias("cos")))
+    # exact scoring within the probed lists, vectorized (same doubles as
+    # the interpreted cast-to-double fold it replaces)
+    sims = _cosine_to_queries(cands.join(e, "vec_id"), qvecs)
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))
