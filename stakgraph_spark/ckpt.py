@@ -44,14 +44,26 @@ _DIR: str | None = None
 # ContextCleaner unpersists asynchronously after a driver GC, and the lag
 # left rep N's serialized blocks squatting in the storage pool while
 # rep N+1's extraction materialized (measured: rep-2 nodes_assembled spans
-# ran 1.2-1.6x rep 1 at 0.36-0.41 core-util in the r5 scaling legs)
+# ran 1.2-1.6x rep 1 at 0.36-0.41 core-util in the r5 scaling legs).
+# BOUNDED (ADVICE r06): in a long-lived session (PipelineRunner reused,
+# test suite, notebook) an unbounded strong-ref list would pin every
+# build's checkpoint blocks forever — once the registry exceeds _LIVE_MAX,
+# the OLDEST refs are dropped (not unpersisted), restoring the pre-r6
+# behavior for them: when the caller's own references go too, the
+# ContextCleaner reclaims the blocks asynchronously.  Recent checkpoints
+# (the current bench rep's) stay synchronously releasable.
 _LIVE: list = []
+_LIVE_MAX = 64
 
 
 def release_all() -> int:
-    """Unpersist every checkpoint this module created (blocking); -> count.
-    Call between benchmark reps; harmless mid-pipeline only if the caller
-    is done with every stage DataFrame."""
+    """Unpersist every registered checkpoint (blocking); -> count.
+
+    Call between benchmark reps.  NOTE (ADVICE r06): a localCheckpoint's
+    lineage is truncated, so any still-held DataFrame from a PRIOR build —
+    e.g. a kept GraphResult.nodes — fails on its next action after this
+    (the data is unrecoverable, not recomputable); only call when every
+    stage DataFrame from earlier builds is dead."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()
@@ -93,4 +105,6 @@ def ckpt(df, eager: bool = True):
         return df.sparkSession.read.parquet(path)
     out = df.localCheckpoint(eager=eager, storageLevel=SER_LEVEL)
     _LIVE.append(out)
+    if len(_LIVE) > _LIVE_MAX:
+        del _LIVE[: len(_LIVE) - _LIVE_MAX]   # drop refs only; see comment
     return out

@@ -242,11 +242,20 @@ class PipelineRunner:
         if self.fulltext_index:
             from .query import write_fulltext_index
 
-            ft_done = (self._manifest()
-                       .where((F.col("stage") == "fulltext_index")
-                              & (F.col("status") == "done")).count() > 0)
+            # staleness by RECENCY, not existence (ADVICE r06): the index is
+            # fresh only if its latest 'done' mark is newer than the latest
+            # 'link' done mark.  A sticky "was ever built" check served a
+            # run-1 index after run-2 rebuilt the graph with the fulltext
+            # flag off and run 3 resumed cleanly with it back on.
+            marks = (self._manifest().where(F.col("status") == "done")
+                     .groupBy("stage").agg(F.max("finished_at").alias("t"))
+                     .collect())
+            latest = {r["stage"]: r["t"] for r in marks}
+            ft_fresh = ("fulltext_index" in latest
+                        and latest["fulltext_index"]
+                        >= latest.get("link", float("-inf")))
             t0 = time.time()
-            if link_rebuilt or not ft_done or not os.path.exists(
+            if link_rebuilt or not ft_fresh or not os.path.exists(
                     os.path.join(self.fulltext_path, "_SUCCESS")):
                 write_fulltext_index(nodes, self.fulltext_path)
                 self._mark_df("fulltext_index", self.spark.createDataFrame(
