@@ -591,15 +591,26 @@ def _seq_sum64(prod: "_np.ndarray") -> "_np.ndarray":
     return _np.cumsum(prod, axis=1, dtype=_np.float64)[:, -1]
 
 
-def _cosine_to_queries(cands_emb: DataFrame, qvecs: dict[int, list[float]],
+def _cosine_to_queries(cands: DataFrame, emb: DataFrame,
+                       qvecs: dict[int, list[float]],
                        cast_first: bool = True, qid_col: str = "qid",
                        id_col: str = "vec_id") -> DataFrame:
-    """(qid, vec_id, embedding) -> (qid, vec_id, cos): the exact cosine of
-    each candidate against its (closure-captured) query vector, vectorized
-    in numpy instead of the per-pair interpreted Catalyst folds
-    (`aggregate(zip_with(...))` is evaluated lambda-by-lambda per element:
-    measured 106 s CPU for 650k candidate pairs x 384 dims at sf1.0 —
-    optimization guide §4.2: hand whole batches to native code).
+    """(qid, vec_id) candidates + (vec_id, embedding) -> (qid, vec_id, cos):
+    the exact cosine of each candidate against its (closure-captured) query
+    vector, vectorized in numpy instead of the per-pair interpreted
+    Catalyst folds (`aggregate(zip_with(...))` is evaluated lambda-by-
+    lambda per element: measured 106 s CPU for 650k candidate pairs x 384
+    dims at sf1.0 — optimization guide §4.2: hand whole batches to native
+    code).
+
+    The embedding rides once per PAIR through the Arrow boundary.  A
+    grouped variant (collect_list the qids per vec_id so each embedding
+    crosses once per candidate vector — guide §8's move-payloads-once
+    rule) was built and measured 2x SLOWER here (4.4 s vs 2.25 s for the
+    scoring stage at sf1.0): with in-process Arrow pipes the saved traffic
+    is cheap, while the extra collect_list shuffle + per-row repeat
+    dominates.  On a network-shuffled cluster that trade can invert —
+    re-measure there before resurrecting it.
 
     Float semantics are preserved bit-for-bit:
     * cast_first=True mirrors `cast(arr as array<double>)` before the
@@ -609,8 +620,7 @@ def _cosine_to_queries(cands_emb: DataFrame, qvecs: dict[int, list[float]],
       to double when adding to the double accumulator);
     * accumulation order is the fold's left-to-right order (_seq_sum64);
     * cos = dot / (norm_q * norm_e) with the same operation order.
-    Only the narrow embedding column crosses the Python boundary; the query
-    vectors ride the closure (tiny)."""
+    The query vectors ride the closure (tiny)."""
     import pandas as pd
 
     qa32 = {int(k): _np.asarray(v, dtype=_np.float32)
@@ -637,8 +647,9 @@ def _cosine_to_queries(cands_emb: DataFrame, qvecs: dict[int, list[float]],
                                 id_col: pdf[id_col],
                                 "cos": dot / (nq * ne)})
 
-    return cands_emb.select(qid_col, id_col, "embedding").mapInPandas(
-        go, f"{qid_col} long, {id_col} long, cos double")
+    return (cands.join(emb.select(id_col, "embedding"), id_col)
+            .select(qid_col, id_col, "embedding")
+            .mapInPandas(go, f"{qid_col} long, {id_col} long, cos double"))
 
 
 def q_ann_lsh_best(spark, sf_dir):
@@ -659,7 +670,7 @@ def q_ann_lsh_best(spark, sf_dir):
              .select("vec_id", "embedding").collect()}
     # exact cosine per surviving candidate, vectorized (same doubles as the
     # interpreted cast-to-double fold it replaces — see _cosine_to_queries)
-    sims = _cosine_to_queries(cands.join(e, "vec_id"), qvecs)
+    sims = _cosine_to_queries(cands, e, qvecs)
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))
@@ -816,16 +827,25 @@ GROUP BY n_name
 
 
 def q_event_sessions(spark, sf_dir):
-    """Windowed per-user event ordering — rank of each user's largest-value
-    event per type (window shape used by the cascade's first-pick logic)."""
+    """Per-user first-pick event per type — each user's largest-value event
+    (tie -> lowest event_id), the first-pick rule of the cascade.
+
+    Expressed as max_by over a lexicographic (value, -event_id) key instead
+    of the former row_number window + rk=1 filter: the aggregation gets
+    MAP-SIDE partial aggregation, so the exchange carries one row per
+    (user, type) group instead of every event, and no per-partition sort is
+    needed (guide §2.3 'aggregate before you shuffle' — at corpus scale the
+    window shuffled and sorted the full event stream to keep one row per
+    group).  Equivalence: row_number ordered by (value DESC, event_id ASC)
+    rk=1 picks exactly arg-max of (value, -event_id); event_id is unique so
+    the pick is total — same row, same rounding, order-insensitive output."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import Window
-    w = Window.partitionBy("user_id", "event_type") \
-              .orderBy(F.col("value").desc(), F.col("event_id"))
-    return (e.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("user_id", "event_type", "event_id",
-                    F.round("value", 2).alias("value")))
+    pick = F.max_by(F.struct("event_id", "value"),
+                    F.struct(F.col("value"), -F.col("event_id")))
+    return (e.groupBy("user_id", "event_type")
+            .agg(pick.alias("k"))
+            .select("user_id", "event_type", F.col("k.event_id"),
+                    F.round("k.value", 2).alias("value")))
 
 
 SQL_EVENT_SESSIONS = """
@@ -1057,7 +1077,7 @@ def q_ann_ivf_best(spark, sf_dir):
              .select("qid", "vec_id").distinct())
     # exact scoring within the probed lists, vectorized (same doubles as
     # the interpreted cast-to-double fold it replaces)
-    sims = _cosine_to_queries(cands.join(e, "vec_id"), qvecs)
+    sims = _cosine_to_queries(cands, e, qvecs)
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))

@@ -167,7 +167,7 @@ def ann_lsh_best(emb: DataFrame, n_queries: int = 20, dim: int = EMBED_DIM,
     # fold's float semantics preserved bit-for-bit (catalog._cosine_to_
     # queries) — the interpreted per-pair aggregate(zip_with(...)) was
     # 106 s CPU for 650k candidates x 384 dims at sf1.0
-    sims = _cosine_to_queries(cands.join(e, "vec_id"), qvecs)
+    sims = _cosine_to_queries(cands, e, qvecs)
     return (sims.groupBy("qid")
             .agg(F.max_by("vec_id", "cos").alias("best_neighbor"),
                  F.round(F.max("cos"), 4).alias("best_cos")))

@@ -53,11 +53,17 @@ def q_link_cascade_resolve(spark, sf_dir):
     skew-defusing plan of the call cascade."""
     d = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # base feeds SEVEN plan branches (both sides of three partner joins +
+    # the spine): materialize the narrow (id, lang, source, 2 hashes,
+    # bucket) projection once so the lower+trim+regex+md5 pass over the
+    # full text runs once, not seven times (plans downstream also get
+    # shallow — scan-of-checkpoint instead of seven copies of the scan)
     base = d.select(
         "doc_id", "lang", "source",
         F.md5(norm).alias("h"),
         F.md5(F.substring(norm, 1, 64)).alias("fp"),
-        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"))
+        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket")
+    ).localCheckpoint()
 
     def partner(keys: list[str], out: str):
         a = base.alias("a")
@@ -279,8 +285,17 @@ def q_link_library_uses(spark, sf_dir):
     lib_base = F.regexp_replace(F.col("lib_name"), r"[=<>!~\[@].*$", "")
     libs = libs.withColumn(
         "mod_last", F.element_at(F.split(lib_base, "/"), -1))
-    hits = (m.join(imp, ["user_id", "base"], "inner")
-            .join(libs, F.element_at(F.split(F.col("module"), "/"), -1)
+    # the import map and the manifest are DISTINCT-aggregated, bounded
+    # tables (scopes x imported bases / declared libraries); broadcast them
+    # so the 10^6-row mention stream is never shuffled for the probes —
+    # the only remaining exchange is the semantic per-mention aggregation.
+    # (resolve_uses in link/simple.py keeps the shuffle join: its import
+    # map is per-file and unbounded.  Catalyst's size ESTIMATE for these
+    # aggregates is derived from the events scan and overshoots the 10 MB
+    # auto threshold, hence the explicit hint — guide §3.1.)
+    hits = (m.join(F.broadcast(imp), ["user_id", "base"], "inner")
+            .join(F.broadcast(libs),
+                  F.element_at(F.split(F.col("module"), "/"), -1)
                   == F.col("mod_last"), "inner")
             .groupBy("event_id")
             .agg(F.min("lib_name").alias("uses_lib")))
