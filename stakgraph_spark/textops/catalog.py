@@ -1178,7 +1178,10 @@ def q_graph_bfs(spark, sf_dir):
     from ..query import bfs_distances
 
     d = _docs(spark, sf_dir).select("doc_id")
-    n = d.count()
+    # row count from the raw read: parquet metadata only — counting the
+    # repartitioned frame would execute the scan-repair shuffle for a
+    # number the footer already knows
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     mk = (lambda a, b: d.select(
         F.col("doc_id").cast("string").alias("src_key"),
         ((F.col("doc_id") * a + b) % n).cast("string").alias("dst_key")))
@@ -1221,7 +1224,10 @@ def q_graph_khop(spark, sf_dir):
     from ..query import k_hop
 
     d = _docs(spark, sf_dir).select("doc_id")
-    n = d.count()
+    # row count from the raw read: parquet metadata only — counting the
+    # repartitioned frame would execute the scan-repair shuffle for a
+    # number the footer already knows
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     mk = (lambda a, b, t: d.select(
         F.col("doc_id").cast("string").alias("src_key"),
         ((F.col("doc_id") * a + b) % n).cast("string").alias("dst_key"),
@@ -1258,7 +1264,10 @@ def q_graph_coverage(spark, sf_dir):
     from ..query import coverage_stats
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    n = d.count()
+    # row count from the raw read: parquet metadata only — counting the
+    # repartitioned frame would execute the scan-repair shuffle for a
+    # number the footer already knows
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     m = F.col("doc_id") % 10
     nt = (F.when(m < 5, "Function").when(m < 7, "UnitTest")
           .when(m == 7, "IntegrationTest").when(m == 8, "E2eTest")
