@@ -249,6 +249,25 @@ def build_graph(spark: SparkSession, source: DataFrame,
         n_part = spark.sparkContext.defaultParallelism * 4
     src = src.repartition(n_part, "repo", "lang", "path")
 
+    # CONCURRENT DRIVER THREADS (guide §2.6): independent jobs and their
+    # Catalyst analysis overlap across driver threads throughout the build.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=12)
+
+    # localCheckpoint: the RAW stream feeds ~10 downstream join families;
+    # truncating lineage here keeps each family's plan shallow (Catalyst
+    # planning time was the bottleneck, not data) and avoids re-running the
+    # UDF per consumer.  On a cluster this becomes a checkpoint to the
+    # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
+    # Submitted FIRST, on a pool thread: the extraction job needs nothing
+    # from the file plane, so the file/package plane's ~2.5 s of cold
+    # Catalyst analysis (measured at 0.09 core-util) overlaps the
+    # extraction's execution instead of preceding it on an idle cluster.
+    fut_raw = None
+    if raw is None:
+        fut_raw = pool.submit(
+            lambda: _ckpt(extract_raw(src.where(F.col("skipped").isNull()))))
+
     fp_nodes, fp_edges = file_plane(src)
     # workspace/package detection (monorepos): Package nodes + edges
     # (workspace/mod.rs:94-200, repo.rs:213-265)
@@ -258,13 +277,8 @@ def build_graph(spark: SparkSession, source: DataFrame,
     fp_edges = fp_edges.unionByName(_norm_edges(pkg_edges))
     stage("file_plane")
 
-    # localCheckpoint: the RAW stream feeds ~10 downstream join families;
-    # truncating lineage here keeps each family's plan shallow (Catalyst
-    # planning time was the bottleneck, not data) and avoids re-running the
-    # UDF per consumer.  On a cluster this becomes a checkpoint to the
-    # pipeline's Iceberg stage table (resumability, FIXTURES.md §4).
-    if raw is None:
-        raw = _ckpt(extract_raw(src.where(F.col("skipped").isNull())))
+    if fut_raw is not None:
+        raw = fut_raw.result()
     stage("raw_extracted")
 
     ex_nodes = raw.where(F.col("rec") == "node").select(
@@ -413,15 +427,12 @@ def build_graph(spark: SparkSession, source: DataFrame,
                    .selectExpr("repo", "lang", "src_name as cls",
                                "dst_name as trait").distinct())
 
-    # CONCURRENT DRIVER THREADS: the call cascade (which materializes its
-    # own checkpoint + runs the member-expr gate) and the shared symbol
-    # table are independent jobs — round 2 measured ~300 s of SERIAL
-    # scheduler/planning latency across ~800 mostly sub-second stages, the
-    # failed 0.8-efficiency target's root cause.  Overlapping independent
-    # jobs lets the scheduler fill idle cores and parallelizes Catalyst
-    # planning across driver threads.
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=12)
+    # The call cascade (which materializes its own checkpoint + runs the
+    # member-expr gate) and the shared symbol table are independent jobs —
+    # round 2 measured ~300 s of SERIAL scheduler/planning latency across
+    # ~800 mostly sub-second stages, the failed 0.8-efficiency target's
+    # root cause.  Overlapping independent jobs lets the scheduler fill
+    # idle cores and parallelizes Catalyst planning across driver threads.
     fut_resolve = pool.submit(
         resolve_calls, cascade_in, functions, instances, variables,
         imports_map, struct_fields, trait_impls=trait_impls)
@@ -433,18 +444,14 @@ def build_graph(spark: SparkSession, source: DataFrame,
         lambda: _ckpt(simple_link.build_symtab(nodes)))
     symtab = fut_symtab.result()
 
-    resolved_all, unresolved_calls = fut_resolve.result()
-    resolved = resolved_all.where(F.col("mk") == "call")
-    hres = resolved_all.where(F.col("mk") == "handler")
-    call_edges = resolved.select(
-        "repo", "lang",
-        F.lit("Calls").alias("edge_type"),
-        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start")).alias("src_key"),
-        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
-                     F.col("dst_start")).alias("dst_key"),
-        "operand", "confidence", "strategy")
-    stage("calls_resolved")
+    # Families that depend only on nodes/mention/symtab are CONSTRUCTED here,
+    # while the cascade's checkpoint jobs still execute on the pool thread:
+    # each construction below runs eager Catalyst ANALYSIS (measured ~1.8 s
+    # of driver-only time in the linking_declared span with every core
+    # idle), and none of it needs the cascade's results — so the analysis
+    # now overlaps the cascade's job execution instead of serializing after
+    # it.  Construction order among these families is semantically inert
+    # (pure lazy DataFrame builders).
 
     # add_instances keeps an Instance only when its data_type names an
     # existing Class (btreemap_graph.rs:238-255).  Applied for java, where
@@ -467,31 +474,12 @@ def build_graph(spark: SparkSession, source: DataFrame,
     impl_edges = simple_link.resolve_implements(impl_m, symtab)
 
     # custom-handler_finder languages (python: same file / django module
-    # paths, endpoint KEPT on miss); cascade languages got their Handler
-    # edges from `hres` above, and endpoints whose handler failed the
-    # cascade are DROPPED (format.rs:516-523 + default handler_finder)
-    handler_edges = simple_link.resolve_handlers(
+    # paths, endpoint KEPT on miss); cascade languages get their Handler
+    # edges from `hres` once the cascade resolves below, and endpoints whose
+    # handler failed the cascade are DROPPED (format.rs:516-523 + default
+    # handler_finder)
+    py_handler_edges = simple_link.resolve_handlers(
         handler_m.where(F.col("lang") == "python"), nodes)
-    cascade_handler_edges = hres.select(
-        "repo", "lang",
-        F.lit("Handler").alias("edge_type"),
-        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                     F.col("src_start"), F.col("src_verb")).alias("src_key"),
-        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
-                     F.col("dst_start")).alias("dst_key"))
-    handler_edges = _norm_edges(handler_edges).unionByName(
-        _norm_edges(cascade_handler_edges))
-    resolved_eps = hres.select(
-        F.xxhash64(
-            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
-    ).distinct()
-    all_cascade_eps = hm_cascade.where(~F.col("lang").isin(KEEP_ON_MISS)).select(
-        F.xxhash64(
-            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
-                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
-    ).distinct()
-    dropped_endpoints = all_cascade_eps.join(resolved_eps, "key_h", "left_anti")
 
     # set-valued mentions: intersect the per-function identifier array with
     # the per-(repo,lang) symbol-name set FIRST, explode after — a
@@ -573,8 +561,6 @@ def build_graph(spark: SparkSession, source: DataFrame,
     fused_edges = simple_link.fused_symtab_edges(fused_in, symtab)
     ruby_dm_edges = simple_link.ruby_dm_within(nodes)
 
-    uses_edges = simple_link.resolve_uses(
-        unresolved_calls.where(F.col("mk") == "call"), imports_map, nodes)
     php_handler = simple_link.php_handler_edges(
         mention.where(F.col("m_kind") == "php_handler"), nodes)
     ng_renders = simple_link.angular_renders(mention)
@@ -582,6 +568,45 @@ def build_graph(spark: SparkSession, source: DataFrame,
     itest_edges = api_link.link_integration_tests(nodes)
     e2e_edges = api_link.link_e2e_tests_pages(nodes)
     e2e_testid_edges = api_link.link_e2e_test_ids(nodes)
+
+    # ---- cascade results (the pool thread's jobs have been executing under
+    # all of the analysis above) ----
+    resolved_all, unresolved_calls = fut_resolve.result()
+    resolved = resolved_all.where(F.col("mk") == "call")
+    hres = resolved_all.where(F.col("mk") == "handler")
+    call_edges = resolved.select(
+        "repo", "lang",
+        F.lit("Calls").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
+                     F.col("dst_start")).alias("dst_key"),
+        "operand", "confidence", "strategy")
+    stage("calls_resolved")
+
+    cascade_handler_edges = hres.select(
+        "repo", "lang",
+        F.lit("Handler").alias("edge_type"),
+        node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                     F.col("src_start"), F.col("src_verb")).alias("src_key"),
+        node_key_col(F.lit("Function"), F.col("dst_name"), F.col("dst_file"),
+                     F.col("dst_start")).alias("dst_key"))
+    handler_edges = _norm_edges(py_handler_edges).unionByName(
+        _norm_edges(cascade_handler_edges))
+    resolved_eps = hres.select(
+        F.xxhash64(
+            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
+    ).distinct()
+    all_cascade_eps = hm_cascade.where(~F.col("lang").isin(KEEP_ON_MISS)).select(
+        F.xxhash64(
+            node_key_col(F.col("src_type"), F.col("src_name"), F.col("src_file"),
+                         F.col("src_start"), F.col("src_verb"))).alias("key_h")
+    ).distinct()
+    dropped_endpoints = all_cascade_eps.join(resolved_eps, "key_h", "left_anti")
+
+    uses_edges = simple_link.resolve_uses(
+        unresolved_calls.where(F.col("mk") == "call"), imports_map, nodes)
     stage("linking_declared")
 
     # final node-plane filters — these depend only on the cascade/symtab
@@ -643,8 +668,13 @@ def build_graph(spark: SparkSession, source: DataFrame,
 
     # ---------------- prune plane ----------------
     from .prune import prune_graph
+    # full=nodes: the final payload materialization filters the PLAIN node
+    # checkpoint by the pruned key set — `keys` already excludes the
+    # instance-filter and endpoint-drop hits (slim was projected from
+    # nodes_final), so re-running those anti-join subtrees inside the final
+    # job would only duplicate work and deepen its plan
     nodes, edges = prune_graph(nodes_final, edges, pool=pool,
-                               slim=fut_slim.result())
+                               slim=fut_slim.result(), full=nodes)
     pool.shutdown(wait=False)
 
     nodes = (nodes.join(ind, "key_h", "left")

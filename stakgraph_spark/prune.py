@@ -131,7 +131,8 @@ def prune_orphan_functions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def prune_graph(nodes: DataFrame, edges: DataFrame,
-                pool=None, slim: DataFrame | None = None
+                pool=None, slim: DataFrame | None = None,
+                full: DataFrame | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """`edges` must arrive deduplicated + materialized with HASHED endpoints
     (the pipeline's union checkpoint applies the BTreeSet semantics of
@@ -165,23 +166,37 @@ def prune_graph(nodes: DataFrame, edges: DataFrame,
     # directive must not count an Operand edge whose dst Function was just
     # orphan-pruned as keeper evidence (orphan-pruned nodes are all
     # Functions, and Operand dsts are Functions, so dst is the only side
-    # that can dangle here)
-    edges = edges.join(removed.withColumnRenamed("key_h", "dst_h"),
-                       "dst_h", "left_anti")
+    # that can dangle here).  This filtered view feeds ONLY the directives:
+    # the final endpoint joins below use the raw checkpointed edge table,
+    # where re-running the `removed` subtree would be pure duplicated work.
+    edges_for_directives = edges.join(
+        removed.withColumnRenamed("key_h", "dst_h"), "dst_h", "left_anti")
 
     for lang, directives in CLEAN_DIRECTIVES.items():
         for d in directives:
             if d[0] == "dedup":
-                slim = dedup_datamodels_vs_classes(slim, edges, lang, d[1], d[2])
+                slim = dedup_datamodels_vs_classes(
+                    slim, edges_for_directives, lang, d[1], d[2])
             elif d[0] == "filter":
                 slim = filter_parents_without_children(slim, lang, d[1], d[2], d[3])
 
     keys = _ckpt(slim.select("key_h", "node_key"))
-    nodes = nodes.join(keys.select("key_h"), "key_h", "leftsemi")
+    # `keys` already encodes EVERY drop (slim was built from the filtered
+    # node view, then lost `removed` + the directive hits), so the two final
+    # materializations filter the RAW CHECKPOINTED tables by keys alone —
+    # re-running the anti-join subtrees (removed / instance-filter /
+    # endpoint-drop) inside these jobs recomputed each of them a second
+    # time and deepened the plans Catalyst had to re-optimize (measured:
+    # 6.3 s zero-task planning gap entering this pair of jobs).
+    payload = full if full is not None else nodes
+    nodes = payload.join(keys.select("key_h"), "key_h", "leftsemi")
 
     # drop edges whose endpoints no longer exist (dangling after prunes) AND
     # re-attach the canonical key strings in the same two joins; Neo4j MERGE
-    # enforces the consistency implicitly, the BTreeMap via remove_node
+    # enforces the consistency implicitly, the BTreeMap via remove_node.
+    # An edge whose endpoint was removed at ANY prune step has that
+    # endpoint's key_h absent from `keys`, so these inner joins subsume the
+    # anti-joins — raw `edges` in, identical rows out.
     from .pipeline import EDGE_COLS
     edges = (edges
              .join(keys.select(F.col("key_h").alias("src_h"),
