@@ -285,20 +285,35 @@ def q_link_library_uses(spark, sf_dir):
     lib_base = F.regexp_replace(F.col("lib_name"), r"[=<>!~\[@].*$", "")
     libs = libs.withColumn(
         "mod_last", F.element_at(F.split(lib_base, "/"), -1))
+    # collapse the manifest to one row per mod_last BEFORE the probe join:
+    # min(lib_name) within a mod_last group is exactly what the old
+    # per-mention `groupBy(event_id).agg(min(lib_name))` computed for a
+    # mention (each mention binds ONE module via the multiplicity-1 import
+    # join, hence one mod_last, hence its candidate set IS a mod_last
+    # group).  This makes the second join structurally multiplicity-1 too.
+    libs = libs.groupBy("mod_last").agg(F.min("lib_name").alias("lib_name"))
     # the import map and the manifest are DISTINCT-aggregated, bounded
     # tables (scopes x imported bases / declared libraries); broadcast them
-    # so the 10^6-row mention stream is never shuffled for the probes —
-    # the only remaining exchange is the semantic per-mention aggregation.
+    # so the 10^6-row mention stream is never shuffled for the probes.
     # (resolve_uses in link/simple.py keeps the shuffle join: its import
     # map is per-file and unbounded.  Catalyst's size ESTIMATE for these
     # aggregates is derived from the events scan and overshoots the 10 MB
     # auto threshold, hence the explicit hint — guide §3.1.)
+    #
+    # No per-mention aggregation remains: both probe joins are
+    # multiplicity-1 by construction (imp is distinct on its exact join key
+    # (user_id, base); libs is aggregated on its exact join key mod_last),
+    # so the old final `groupBy(event_id).agg(min(lib_name))` — a full
+    # shuffle of the mention stream with zero map-side reduction (event_id
+    # is the events table's unique row id: a dense 0..N-1 sequence at every
+    # generated SF) — grouped exactly one row per key and is dropped.  The
+    # mention stream now flows scan -> two broadcast probes -> sink with NO
+    # exchange at any scale (guide §2.1: remove the shuffle outright).
     hits = (m.join(F.broadcast(imp), ["user_id", "base"], "inner")
             .join(F.broadcast(libs),
                   F.element_at(F.split(F.col("module"), "/"), -1)
                   == F.col("mod_last"), "inner")
-            .groupBy("event_id")
-            .agg(F.min("lib_name").alias("uses_lib")))
+            .select("event_id", F.col("lib_name").alias("uses_lib")))
     return hits
 
 
