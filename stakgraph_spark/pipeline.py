@@ -634,11 +634,33 @@ def build_graph(spark: SparkSession, source: DataFrame,
             imp_edges, fused_edges, api_edges, itest_edges,
             e2e_edges, ruby_dm_edges, e2e_testid_edges,
             uses_edges, php_handler, ng_renders, fp_edges]
-    # ONE union job materializes every family: measured 36k-file A/B —
-    # per-family concurrent checkpoint jobs cost 161 s vs 116 s for the
-    # single union (24 extra job/checkpoint overheads outweigh the overlap;
-    # Spark already runs the union's independent branches' stages in
-    # parallel).  STAKGRAPH_CONC_LINK opts back into the experiment.
+    # Sub-union checkpoints (default): the families are materialized as a
+    # few concurrently-submitted checkpoint jobs of ~5 families each, and
+    # the dedup below unions the CHECKPOINTED RDDs in the same order.  A
+    # single 19-family union job carried every family's physical subtree +
+    # codegen in one stage binary, and each of its ~165 tasks re-paid the
+    # deserialization: 113.8 of that stage's 182.8 core-seconds were
+    # Executor Deserialize Time (event logs, 12 copies; 87% of the whole
+    # app's deserialize time in one stage).  Grouping cuts the per-task
+    # binary to ~a quarter and the final dedup map stage reads shallow
+    # LogicalRDD scans: total app deserialize 94.0 -> 44.6 core-s, warm
+    # kg wall 47.6/56.3 -> 43.8/39.8 s (interleaved A/B).
+    #
+    # Output-identity argument (the dedup's dropDuplicates survivor is
+    # partition-layout-sensitive — 240 duplicate (src_h, dst_h, edge_type)
+    # groups carry value-distinct rows): each family's AQE plan and stats
+    # are unchanged, so its coalesced output partitions are unchanged;
+    # localCheckpoint materializes those partitions as-is; the union
+    # concatenates them in the same code order, so the dedup map stage
+    # sees byte-identical partitions at the same indices as the old
+    # in-stage union.  Verified: order-insensitive full-row digest
+    # (count + sum + xor of xxhash64 over every column, meta canonicalized)
+    # of nodes AND edges is bit-identical to the single-union build at 12
+    # copies, and stable across repeated runs.
+    #
+    # Per-FAMILY checkpoints (19 jobs) measured SLOWER at 36k files
+    # (161 s vs 116 s — job/checkpoint overheads dominate);
+    # STAKGRAPH_CONC_LINK keeps that experiment reachable.
     if os.environ.get("STAKGRAPH_CONC_LINK"):
         futs = [pool.submit(lambda d=d: _ckpt(_norm_edges_h(d)))
                 for d in fams]
@@ -647,9 +669,20 @@ def build_graph(spark: SparkSession, source: DataFrame,
         for e in checked[1:]:
             edges = edges.unionByName(e)
     else:
-        edges = _norm_edges_h(fams[0])
-        for e in fams[1:]:
-            edges = edges.unionByName(_norm_edges_h(e))
+        k = int(os.environ.get("STAKGRAPH_SUBUNION_K", "5"))
+        groups = [fams[i:i + k] for i in range(0, len(fams), k)]
+
+        def _sub(g):
+            u = _norm_edges_h(g[0])
+            for e in g[1:]:
+                u = u.unionByName(_norm_edges_h(e))
+            return _ckpt(u)
+
+        futs = [pool.submit(lambda g=g: _sub(g)) for g in groups]
+        checked = [f.result() for f in futs]
+        edges = checked[0]
+        for e in checked[1:]:
+            edges = edges.unionByName(e)
     # BTreeSet edge dedup (btreemap_graph.rs:51-55) over the materialized
     # family RDDs — one shuffle, shallow plan.  Dedup key is the surrogate
     # pair: a false merge needs two distinct edges colliding on BOTH 64-bit
