@@ -697,7 +697,18 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # table AFTER the prune plane (see nodes_final comment above) — prune
     # never reads these keys and only removes nodes, so moving the merge
     # changes nothing in the output.
-    ind = api_link.indirect_test_endpoints(nodes_final, edges)
+    #
+    # CHECKPOINTED on a pool thread, concurrently with the prune plane's
+    # materializations: the ~10-stage join subtree (tests x calls x fns x
+    # requests x endpoints) used to ride uncomputed inside the final node
+    # table's plan, where its analysis + serial AQE query-stage stepping
+    # ran at count time on an otherwise-idle cluster (event logs: the
+    # post-prune window's zero-task gaps).  The table is tiny (endpoints
+    # that gained an indirect test) and its values are deterministic
+    # (distinct sets + an order-insensitive min_by arg-min), so the
+    # checkpoint cannot perturb the output.
+    fut_ind = pool.submit(
+        lambda: _ckpt(api_link.indirect_test_endpoints(nodes_final, edges)))
 
     # ---------------- prune plane ----------------
     from .prune import prune_graph
@@ -708,6 +719,7 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # job would only duplicate work and deepen its plan
     nodes, edges = prune_graph(nodes_final, edges, pool=pool,
                                slim=fut_slim.result(), full=nodes)
+    ind = fut_ind.result()
     pool.shutdown(wait=False)
 
     nodes = (nodes.join(ind, "key_h", "left")
