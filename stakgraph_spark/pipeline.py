@@ -710,6 +710,22 @@ def build_graph(spark: SparkSession, source: DataFrame,
     fut_ind = pool.submit(
         lambda: _ckpt(api_link.indirect_test_endpoints(nodes_final, edges)))
 
+    # fat-companion body table, same overlap treatment as `ind` (it
+    # depends only on the RAW checkpoint): dedup-to-unique key_h is
+    # layout-insensitive here — fat rows have ZERO duplicate key_h groups
+    # (each fat companion is emitted once per node; verified at 12
+    # copies), so dropDuplicates keeps the same single row per key under
+    # any partitioning — and materializing it during the prune plane takes
+    # its filter/key/dedup subtree out of the final node plan's count-time
+    # AQE stepping.
+    fat_lazy = (_key(raw.where(F.col("rec") == "fat")
+                     .select("node_type", "name", "file", "start", "body",
+                             "meta", "repo", "lang"))
+                .select(F.xxhash64("node_key").alias("key_h"),
+                        F.col("body").alias("_fat_body"))
+                .dropDuplicates(["key_h"]))
+    fut_fat = pool.submit(lambda: _ckpt(fat_lazy))
+
     # ---------------- prune plane ----------------
     from .prune import prune_graph
     # full=nodes: the final payload materialization filters the PLAIN node
@@ -740,13 +756,9 @@ def build_graph(spark: SparkSession, source: DataFrame,
     # bodies are recomputed JVM-side from the source table with one join
     # keyed on (repo, lang, file) (the body_mode=='span' term keeps
     # non-span rows from matching); the rare non-span remainder comes from
-    # the rec='fat' companion rows, deduped to mirror the node dedup.
-    fat_tbl = (_key(raw.where(F.col("rec") == "fat")
-                    .select("node_type", "name", "file", "start", "body",
-                            "meta", "repo", "lang"))
-               .select(F.xxhash64("node_key").alias("key_h"),
-                       F.col("body").alias("_fat_body"))
-               .dropDuplicates(["key_h"]))
+    # the rec='fat' companion rows, deduped to mirror the node dedup
+    # (materialized above, concurrently with the prune plane).
+    fat_tbl = fut_fat.result()
     src_lines = src.select(
         F.col("repo").alias("_sl_repo"), F.col("lang").alias("_sl_lang"),
         F.col("path").alias("_sl_file"),
